@@ -1,0 +1,53 @@
+"""Harmonic bond force: V = 1/2 k (r - r0)^2 per bond.
+
+Rebuilds the consumed ``hoomd.md.bond.Harmonic`` surface (SURVEY.md §2.3;
+used by reference ``examples/05_advanced_run.py:567-570``). Bonds are a
+static (Nb, 2) index table; forces accumulate with two scatter-adds — a
+shape-static pattern XLA fuses well. Minimum-image displacement is used so
+bonds work across the periodic boundary.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cavmd_tpu.core.box import minimum_image
+
+
+def harmonic_bond_force(position, box_L, bond_group, bond_typeid, k, r0):
+    """Harmonic bond forces and total energy.
+
+    Args:
+        position: (N,3) wrapped positions.
+        box_L: (3,) box lengths.
+        bond_group: (Nb,2) int — particle indices per bond.
+        bond_typeid: (Nb,) int — bond type per bond.
+        k, r0: (n_bond_types,) per-type spring constants / rest lengths.
+
+    Returns:
+        (forces (N,3), energy scalar).
+    """
+    dtype = position.dtype
+    n = position.shape[0]
+    if bond_group.shape[0] == 0:
+        return jnp.zeros_like(position), jnp.zeros((), dtype)
+
+    i = bond_group[:, 0]
+    j = bond_group[:, 1]
+    dr = minimum_image(position[j] - position[i], box_L)  # (Nb,3)
+    r = jnp.sqrt(jnp.sum(dr * dr, axis=1))
+
+    kb = jnp.asarray(k, dtype)[bond_typeid]
+    rb = jnp.asarray(r0, dtype)[bond_typeid]
+
+    # F_j = -k (r - r0) * dr/r ; guard r=0 (coincident particles)
+    safe_r = jnp.where(r > 0, r, jnp.ones((), dtype))
+    fmag = -kb * (r - rb) / safe_r
+    f_j = fmag[:, None] * dr
+
+    forces = jnp.zeros((n, 3), dtype)
+    forces = forces.at[j].add(f_j)
+    forces = forces.at[i].add(-f_j)
+
+    energy = jnp.sum(0.5 * kb * (r - rb) ** 2)
+    return forces, energy

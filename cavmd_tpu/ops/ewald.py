@@ -1,0 +1,225 @@
+"""Ewald electrostatics: real-space pair part, self/exclusion corrections,
+and an exact k-space sum (the correctness oracle for the PPPM mesh path).
+
+Rebuilds the consumed ``hoomd.md.long_range.pppm.make_pppm_coulomb_forces``
+surface (SURVEY.md §2.3; configured at reference
+``examples/05_advanced_run.py:598-604`` with resolution 32^3, order 6,
+r_cut 15, alpha 0). HOOMD splits the interaction into an "Ewald short"
+pair force and a "Coulomb long" mesh force; this module provides the short
+part plus corrections, :mod:`cavmd_tpu.ops.pppm` provides the mesh part.
+
+Total Coulomb energy of a neutral periodic system:
+
+    E = E_real + E_kspace - E_self - E_excluded
+
+    E_real  = 1/2 sum_{i!=j, r<rc, not excl} q_i q_j erfc(kappa r)/r
+    E_k     = (2 pi / V) sum_{k!=0} exp(-k^2/4 kappa^2)/k^2 |rho(k)|^2
+    E_self  = kappa/sqrt(pi) sum_i q_i^2
+    E_excl  = sum_{(i,j) excluded} q_i q_j erf(kappa r_ij)/r_ij
+
+(the excluded-pair term removes the reciprocal-space contribution of
+bonded pairs, matching the HOOMD nlist ``exclusions=('bond',)`` semantics).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erfc
+
+from cavmd_tpu.core.box import minimum_image
+
+
+def auto_kappa(r_cut, accuracy=1e-6):
+    """Choose the Ewald splitting parameter from the real-space cutoff.
+
+    Picks kappa such that erfc(kappa * r_cut) ~ accuracy, the standard
+    heuristic (HOOMD tunes kappa from an error estimate; the workflow's
+    numbers r_cut=15, 32^3 mesh resolve the resulting reciprocal tail).
+    """
+    import numpy as np
+    from scipy.special import erfcinv  # host-side, setup only
+
+    return float(erfcinv(accuracy)) / float(r_cut)
+
+
+def ewald_real_space(
+    position,
+    box_L,
+    charge,
+    kappa,
+    r_cut,
+    exclusion_mask=None,
+):
+    """Real-space (short-range) Ewald pair force + energy, all-pairs dense.
+
+    This is the TPU analog of HOOMD's "Ewald short" pair force. Excluded
+    (bonded) pairs are skipped entirely here, as with an exclusion-aware
+    neighbor list.
+
+    Returns (forces (N,3), energy scalar).
+    """
+    dtype = position.dtype
+    n = position.shape[0]
+    kappa = jnp.asarray(kappa, dtype)
+
+    dr = minimum_image(position[:, None, :] - position[None, :, :], box_L)
+    r2 = jnp.sum(dr * dr, axis=-1)
+
+    eye = jnp.eye(n, dtype=bool)
+    active = (~eye) & (r2 < r_cut * r_cut)
+    if exclusion_mask is not None:
+        active = active & (~exclusion_mask)
+
+    r2_safe = jnp.where(active, r2, jnp.ones((), dtype))
+    r = jnp.sqrt(r2_safe)
+    qq = charge[:, None] * charge[None, :]
+
+    erfc_term = erfc(kappa * r)
+    e_pair = jnp.where(active, qq * erfc_term / r, jnp.zeros((), dtype))
+    energy = 0.5 * jnp.sum(e_pair)
+
+    # dV/dr = -qq [ erfc(kr)/r^2 + 2k/sqrt(pi) exp(-k^2 r^2)/r ]
+    two_over_sqrt_pi = jnp.asarray(2.0 / math.sqrt(math.pi), dtype)
+    fmag = jnp.where(
+        active,
+        qq
+        * (
+            erfc_term / r2_safe
+            + kappa * two_over_sqrt_pi * jnp.exp(-(kappa * r) ** 2) / r
+        )
+        / r,
+        jnp.zeros((), dtype),
+    )
+    forces = jnp.sum(fmag[:, :, None] * dr, axis=1)
+    return forces, energy
+
+
+def ewald_self_energy(charge, kappa):
+    """Self-interaction correction kappa/sqrt(pi) * sum q_i^2 (subtracted)."""
+    dtype = charge.dtype
+    return (
+        jnp.asarray(kappa, dtype)
+        / jnp.asarray(math.sqrt(math.pi), dtype)
+        * jnp.sum(charge * charge)
+    )
+
+
+def ewald_exclusion_correction(position, box_L, charge, kappa, bond_group):
+    """Remove the reciprocal-space contribution of excluded (bonded) pairs.
+
+    Returns (forces (N,3), energy scalar) of the correction term
+    ``sum_bonds q_i q_j erf(kappa r)/r`` which must be *subtracted* from the
+    long-range part.
+    """
+    dtype = position.dtype
+    n = position.shape[0]
+    if bond_group.shape[0] == 0:
+        return jnp.zeros_like(position), jnp.zeros((), dtype)
+
+    kappa = jnp.asarray(kappa, dtype)
+    i = bond_group[:, 0]
+    j = bond_group[:, 1]
+    dr = minimum_image(position[i] - position[j], box_L)
+    r2 = jnp.sum(dr * dr, axis=1)
+    r = jnp.sqrt(r2)
+    qq = charge[i] * charge[j]
+
+    erf_term = 1.0 - erfc(kappa * r)
+    energy = jnp.sum(qq * erf_term / r)
+
+    # d/dr [erf(kr)/r] = [2k/sqrt(pi) exp(-k^2r^2) - erf(kr)/r] / r
+    two_over_sqrt_pi = jnp.asarray(2.0 / math.sqrt(math.pi), dtype)
+    fmag = (
+        qq
+        * (
+            erf_term / r2
+            - kappa * two_over_sqrt_pi * jnp.exp(-(kappa * r) ** 2) / r
+        )
+        / r
+    )
+    f_i = fmag[:, None] * dr  # force on i from the *correction* potential
+
+    forces = jnp.zeros((n, 3), dtype)
+    forces = forces.at[i].add(f_i)
+    forces = forces.at[j].add(-f_i)
+    return forces, energy
+
+
+def kspace_vectors(box_L, nmax, dtype):
+    """Integer reciprocal lattice grid (2*nmax+1)^3 as k-vectors (k != 0)."""
+    import numpy as np
+
+    ns = np.arange(-nmax, nmax + 1)
+    grid = np.stack(np.meshgrid(ns, ns, ns, indexing="ij"), -1).reshape(-1, 3)
+    grid = grid[np.any(grid != 0, axis=1)]
+    box_np = np.asarray(box_L, dtype=float)
+    return jnp.asarray(2.0 * np.pi * grid / box_np[None, :], dtype=dtype)
+
+
+def ewald_kspace_exact(position, charge, box_L, kappa, nmax=12):
+    """Exact reciprocal-space Ewald sum (oracle for PPPM; O(N * nk)).
+
+    Returns (forces (N,3), energy scalar). Energy excludes self/exclusion
+    corrections (apply separately).
+    """
+    dtype = position.dtype
+    kvecs = kspace_vectors(box_L, nmax, dtype)  # (nk, 3)
+    volume = jnp.prod(jnp.asarray(box_L, dtype))
+    kappa = jnp.asarray(kappa, dtype)
+
+    kr = position @ kvecs.T  # (N, nk)
+    cos_kr = jnp.cos(kr)
+    sin_kr = jnp.sin(kr)
+    rho_re = charge @ cos_kr  # (nk,)
+    rho_im = charge @ sin_kr
+
+    k2 = jnp.sum(kvecs * kvecs, axis=1)
+    green = jnp.exp(-k2 / (4.0 * kappa * kappa)) / k2  # (nk,)
+    pref = 2.0 * jnp.pi / volume
+
+    energy = pref * jnp.sum(green * (rho_re**2 + rho_im**2))
+
+    # F_i = -dE/dr_i = (4 pi / V) q_i sum_k G(k) k [sin(kr_i) Re rho - cos(kr_i) Im rho]
+    coef = 2.0 * pref * green  # (nk,) — the 2 from d|rho|^2 = 2 rho drho
+    site = sin_kr * rho_re[None, :] - cos_kr * rho_im[None, :]  # (N, nk)
+    forces = charge[:, None] * ((coef[None, :] * site) @ kvecs)
+    return forces, energy
+
+
+def coulomb_direct_reference(position, box_L, charge, bond_group=None, nmax_real=2):
+    """Brute-force Coulomb energy over periodic images (slow; tests only).
+
+    Sums 1/r over real-space images out to ``nmax_real`` boxes — converges
+    poorly in general but adequately for well-separated small test systems.
+    """
+    import numpy as np
+
+    pos = np.asarray(position)
+    q = np.asarray(charge)
+    L = np.asarray(box_L)
+    n = len(q)
+    excluded = set()
+    if bond_group is not None:
+        for a, b in np.asarray(bond_group):
+            excluded.add((int(a), int(b)))
+            excluded.add((int(b), int(a)))
+    e = 0.0
+    shifts = [
+        np.array([ix, iy, iz]) * L
+        for ix in range(-nmax_real, nmax_real + 1)
+        for iy in range(-nmax_real, nmax_real + 1)
+        for iz in range(-nmax_real, nmax_real + 1)
+    ]
+    for i in range(n):
+        for j in range(n):
+            for s in shifts:
+                if i == j and not s.any():
+                    continue
+                if (i, j) in excluded and not s.any():
+                    continue
+                r = np.linalg.norm(pos[i] - pos[j] + s)
+                e += 0.5 * q[i] * q[j] / r
+    return e

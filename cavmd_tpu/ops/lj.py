@@ -1,0 +1,130 @@
+"""Shifted Lennard-Jones pair force with per-type-pair parameters.
+
+Rebuilds the consumed ``hoomd.md.pair.LJ(mode='shift')`` surface with bond
+exclusions (SURVEY.md §2.3; configured at reference
+``examples/05_advanced_run.py:573-596``, including the zeroed ('L', *) rows
+that make the photon inert to pair interactions — here an epsilon of 0 and
+r_cut of 0 give exactly the same behavior).
+
+Two code paths:
+
+- ``lj_dense``: all-pairs O(N^2) with minimum image — the default for the
+  reference-scale system (N ~ 500). On TPU this is a fully vectorized
+  elementwise program over an (N, N) tile grid; no neighbor-list rebuild
+  logic, no dynamic shapes, and XLA fuses the whole thing with the rest of
+  the step. For N up to a few thousand this beats a cell list outright.
+- the cell-list path in :mod:`cavmd_tpu.ops.neighbor` for large N.
+
+Energy convention: ``V(r) = 4 eps [(s/r)^12 - (s/r)^6] - V(r_cut)`` for
+``r < r_cut`` (shift mode), half-counted per ordered pair.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cavmd_tpu.core.box import minimum_image
+
+
+def lj_pair_tables(types, lj_params, default_rcut=0.0, dtype=None):
+    """Build (T,T) epsilon/sigma/r_cut tables from a {(a,b): dict} mapping.
+
+    Mirrors HOOMD's symmetric per-type-pair parameter dict: entries may be
+    given as ('O','N') or ('N','O'); missing pairs default to epsilon=0,
+    r_cut=0 (interaction disabled) — which is how the reference disables
+    photon pair interactions (05_advanced_run.py:584-595).
+    """
+    import numpy as np
+
+    t = len(types)
+    eps = np.zeros((t, t))
+    sig = np.ones((t, t))
+    rcut = np.full((t, t), default_rcut)
+    for (a, b), p in lj_params.items():
+        ia, ib = types.index(a), types.index(b)
+        eps[ia, ib] = eps[ib, ia] = p["epsilon"]
+        sig[ia, ib] = sig[ib, ia] = p["sigma"]
+        rc = p.get("r_cut", default_rcut)
+        rcut[ia, ib] = rcut[ib, ia] = rc
+    return (
+        jnp.asarray(eps, dtype=dtype),
+        jnp.asarray(sig, dtype=dtype),
+        jnp.asarray(rcut, dtype=dtype),
+    )
+
+
+def _pair_eps_sig_rcut(typeid, eps_table, sigma_table, rcut_table):
+    """Gather per-pair parameter matrices from type tables."""
+    eps = eps_table[typeid[:, None], typeid[None, :]]
+    sig = sigma_table[typeid[:, None], typeid[None, :]]
+    rc = rcut_table[typeid[:, None], typeid[None, :]]
+    return eps, sig, rc
+
+
+def lj_dense(
+    position,
+    box_L,
+    typeid,
+    eps_table,
+    sigma_table,
+    rcut_table,
+    exclusion_mask=None,
+):
+    """All-pairs shifted LJ forces and energy.
+
+    Args:
+        position: (N,3) wrapped positions.
+        box_L: (3,) box lengths.
+        typeid: (N,) int type ids.
+        eps_table, sigma_table, rcut_table: (T,T) symmetric parameter tables.
+        exclusion_mask: optional (N,N) bool — True where the pair is
+            *excluded* (e.g. bonded pairs; HOOMD ``exclusions=('bond',)``).
+
+    Returns:
+        (forces (N,3), energy scalar).
+    """
+    dtype = position.dtype
+    n = position.shape[0]
+
+    dr = minimum_image(position[:, None, :] - position[None, :, :], box_L)
+    r2 = jnp.sum(dr * dr, axis=-1)  # (N,N)
+
+    eps, sig, rc = _pair_eps_sig_rcut(typeid, eps_table, sigma_table, rcut_table)
+
+    eye = jnp.eye(n, dtype=bool)
+    active = (~eye) & (r2 < rc * rc) & (eps != 0)
+    if exclusion_mask is not None:
+        active = active & (~exclusion_mask)
+
+    # guard r2 for masked-out entries to avoid inf/nan in the dead lanes
+    r2_safe = jnp.where(active, r2, jnp.ones((), dtype))
+    inv_r2 = sig * sig / r2_safe
+    s6 = inv_r2 * inv_r2 * inv_r2
+    s12 = s6 * s6
+
+    # energy shift at the cutoff (mode='shift')
+    rc_safe = jnp.where(rc > 0, rc, jnp.ones((), dtype))
+    src6 = (sig / rc_safe) ** 6
+    v_shift = 4.0 * eps * (src6 * src6 - src6)
+
+    v = jnp.where(active, 4.0 * eps * (s12 - s6) - v_shift, jnp.zeros((), dtype))
+    energy = 0.5 * jnp.sum(v)
+
+    # F_i = sum_j 24 eps (2 s12 - s6) / r^2 * dr_ij  (dr = r_i - r_j)
+    fscalar = jnp.where(
+        active, 24.0 * eps * (2.0 * s12 - s6) / r2_safe, jnp.zeros((), dtype)
+    )
+    forces = jnp.sum(fscalar[:, :, None] * dr, axis=1)
+    return forces, energy
+
+
+def bond_exclusion_mask(n, bond_group):
+    """Dense (N,N) bool mask of bonded pairs (for the dense pair path)."""
+    import numpy as np
+
+    mask = np.zeros((n, n), dtype=bool)
+    bg = np.asarray(bond_group)
+    if bg.shape[0]:
+        mask[bg[:, 0], bg[:, 1]] = True
+        mask[bg[:, 1], bg[:, 0]] = True
+    return jnp.asarray(mask)

@@ -1,0 +1,143 @@
+"""Electrostatics fidelity: real-space oracle match, PPPM vs exact k-space
+Ewald, NaCl Madelung constant, conservativity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cavmd_tpu.core import make_diatomic_system
+from cavmd_tpu.ops import (
+    PPPMParams,
+    auto_kappa,
+    ewald_exclusion_correction,
+    ewald_kspace_exact,
+    ewald_real_space,
+    ewald_self_energy,
+    pppm_force_and_energy,
+    pppm_reciprocal_energy,
+)
+from cavmd_tpu.ops.lj import bond_exclusion_mask
+
+from oracle import oracle_ewald_real
+
+
+@pytest.fixture(scope="module")
+def charged_system():
+    snap = make_diatomic_system(20, box_L=24.0, seed=23)
+    return snap
+
+
+def test_real_space_matches_oracle(charged_system):
+    snap = charged_system
+    kappa, r_cut = 0.25, 10.0
+    excl = bond_exclusion_mask(snap.N, snap.bond_group)
+    f, e = ewald_real_space(snap.position, snap.box_L, snap.charge, kappa, r_cut, excl)
+    f_ref, e_ref = oracle_ewald_real(
+        np.asarray(snap.position), np.asarray(snap.box_L), np.asarray(snap.charge),
+        kappa, r_cut,
+        excluded_pairs=[tuple(b) for b in np.asarray(snap.bond_group)],
+    )
+    np.testing.assert_allclose(np.asarray(f), f_ref, atol=1e-12)
+    assert float(e) == pytest.approx(e_ref, rel=1e-12)
+
+
+def test_pppm_matches_exact_kspace(charged_system):
+    snap = charged_system
+    kappa = 0.25
+    mesh = (32, 32, 32)
+    params, order = PPPMParams.create(snap.box_L, mesh=mesh, order=6, kappa=kappa)
+
+    e_pppm = pppm_reciprocal_energy(
+        snap.position, snap.charge, snap.box_L, params, order, mesh
+    )
+    f_exact, e_exact = ewald_kspace_exact(
+        snap.position, snap.charge, snap.box_L, kappa, nmax=14
+    )
+    assert float(e_pppm) == pytest.approx(float(e_exact), rel=2e-5)
+
+    f_pppm, _ = pppm_force_and_energy(
+        snap.position, snap.charge, snap.box_L, params, order, mesh
+    )
+    scale = np.abs(np.asarray(f_exact)).max()
+    np.testing.assert_allclose(
+        np.asarray(f_pppm), np.asarray(f_exact), atol=2e-5 * scale
+    )
+
+
+def test_pppm_forces_are_exact_gradient(charged_system):
+    """SPME-ad forces are the *exact* gradient of the mesh energy —
+    finite-difference check at tight tolerance."""
+    snap = charged_system
+    mesh = (16, 16, 16)
+    params, order = PPPMParams.create(snap.box_L, mesh=mesh, order=6, kappa=0.2)
+    f, _ = pppm_force_and_energy(
+        snap.position, snap.charge, snap.box_L, params, order, mesh
+    )
+
+    def e_fn(p):
+        return pppm_reciprocal_energy(p, snap.charge, snap.box_L, params, order, mesh)
+
+    h = 1e-6
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        i = int(rng.integers(snap.N))
+        d = int(rng.integers(3))
+        pp = np.array(snap.position)
+        pp[i, d] += h
+        pm = np.array(snap.position)
+        pm[i, d] -= h
+        fd = -(float(e_fn(jnp.asarray(pp))) - float(e_fn(jnp.asarray(pm)))) / (2 * h)
+        assert float(f[i, d]) == pytest.approx(fd, rel=1e-5, abs=1e-10)
+
+
+def test_madelung_nacl():
+    """Full Ewald (real + reciprocal - self) reproduces the NaCl Madelung
+    constant 1.747565 to high accuracy."""
+    a = 2.0  # nearest-neighbor distance
+    L = 2 * a
+    # conventional rock-salt cell: 8 ions
+    pos, q = [], []
+    for i in range(2):
+        for j in range(2):
+            for k in range(2):
+                pos.append([i * a - L / 2 + a / 2, j * a - L / 2 + a / 2, k * a - L / 2 + a / 2])
+                q.append(1.0 if (i + j + k) % 2 == 0 else -1.0)
+    pos = jnp.asarray(pos)
+    q = jnp.asarray(q)
+    box_L = jnp.asarray([L, L, L])
+
+    kappa = 3.0  # erfc(kappa * r_cut) ~ 1e-16: real space fully inside box
+    r_cut = 0.497 * L
+    _, e_real = ewald_real_space(pos, box_L, q, kappa, r_cut)
+    _, e_k = ewald_kspace_exact(pos, q, box_L, kappa, nmax=20)
+    e_self = ewald_self_energy(q, kappa)
+    e_total = float(e_real + e_k - e_self)
+
+    madelung = -e_total / 8 * 2 * a  # energy per ion = -M q^2 / (2... )
+    # E_total = -N * M / (2 * d) * q^2 with d nearest-neighbor distance
+    expected = 1.747564594633
+    assert -e_total * a / 8 * 2 == pytest.approx(expected, rel=1e-8)
+
+
+def test_exclusion_correction_gradient(charged_system):
+    snap = charged_system
+    kappa = 0.25
+
+    def e_fn(p):
+        return ewald_exclusion_correction(
+            p, snap.box_L, snap.charge, kappa, snap.bond_group
+        )[1]
+
+    f, _ = ewald_exclusion_correction(
+        snap.position, snap.box_L, snap.charge, kappa, snap.bond_group
+    )
+    g = jax.grad(e_fn)(snap.position)
+    np.testing.assert_allclose(np.asarray(f), -np.asarray(g), atol=1e-12)
+
+
+def test_auto_kappa():
+    k = auto_kappa(15.0, accuracy=1e-6)
+    from scipy.special import erfc
+
+    assert erfc(k * 15.0) == pytest.approx(1e-6, rel=1e-6)
