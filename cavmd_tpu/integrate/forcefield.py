@@ -1,0 +1,212 @@
+"""ForceField: one container that evaluates every force in a single fused pass.
+
+The TPU inversion of HOOMD's per-force ``computeForces`` callback chain
+(SURVEY.md §3.2): instead of the integrator looping over force objects with
+host orchestration between them, ``ForceField.compute`` evaluates cavity +
+bonds + LJ + Ewald short + PPPM long in one traced function; XLA fuses the
+elementwise work and shares the pair-distance computation. Energy components
+come back as a dict matching the reference EnergyTracker's column names
+(src/cavitymd/analysis.py:661-671).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cavmd_tpu.core.snapshot import Snapshot
+from cavmd_tpu.ops.bonds import harmonic_bond_force
+from cavmd_tpu.ops.cavity import CavityParams, cavity_force
+from cavmd_tpu.ops.ewald import (
+    auto_kappa,
+    ewald_exclusion_correction,
+    ewald_real_space,
+    ewald_self_energy,
+)
+from cavmd_tpu.ops.lj import bond_exclusion_mask, lj_dense, lj_pair_tables
+from cavmd_tpu.ops.pppm import PPPMParams, pppm_reciprocal_energy
+
+
+@dataclasses.dataclass(frozen=True)
+class ForceField:
+    """All force parameters (pytree) + static switches (aux data)."""
+
+    # bonds
+    bond_k: jnp.ndarray  # (n_bond_types,)
+    bond_r0: jnp.ndarray
+    # LJ
+    lj_eps: jnp.ndarray  # (T,T)
+    lj_sigma: jnp.ndarray
+    lj_rcut: jnp.ndarray
+    excl_mask: jnp.ndarray  # (N,N) bool — bonded-pair exclusions (dense path)
+    # cavity
+    cavity: CavityParams
+    # electrostatics
+    kappa: jnp.ndarray
+    pppm: PPPMParams
+    # static
+    l_typeid: int = 2
+    coulomb_rcut: float = 15.0
+    pppm_order: int = 6
+    pppm_mesh: Tuple[int, int, int] = (32, 32, 32)
+    enable_cavity: bool = True
+    enable_coulomb: bool = True
+    enable_lj: bool = True
+    enable_bonds: bool = True
+
+    def compute(self, position, image, box_L, charge, typeid, bond_group, bond_typeid):
+        """Total forces + component energies in one fused evaluation.
+
+        Returns (forces (N,3), energies dict). Energy keys mirror the
+        reference energy audit: harmonic (bonds), lj, ewald_short,
+        ewald_long, cavity_harmonic, cavity_coupling, cavity_dipole_self.
+        """
+        dtype = position.dtype
+        zero = jnp.zeros((), dtype)
+        forces = jnp.zeros_like(position)
+        energies = {
+            "harmonic": zero,
+            "lj": zero,
+            "ewald_short": zero,
+            "ewald_long": zero,
+            "cavity_harmonic": zero,
+            "cavity_coupling": zero,
+            "cavity_dipole_self": zero,
+        }
+
+        if self.enable_bonds:
+            f, e = harmonic_bond_force(
+                position, box_L, bond_group, bond_typeid, self.bond_k, self.bond_r0
+            )
+            forces = forces + f
+            energies["harmonic"] = e
+
+        if self.enable_lj:
+            f, e = lj_dense(
+                position, box_L, typeid,
+                self.lj_eps, self.lj_sigma, self.lj_rcut, self.excl_mask,
+            )
+            forces = forces + f
+            energies["lj"] = e
+
+        if self.enable_coulomb:
+            f, e = ewald_real_space(
+                position, box_L, charge, self.kappa, self.coulomb_rcut,
+                self.excl_mask,
+            )
+            forces = forces + f
+            energies["ewald_short"] = e
+
+            e_rec, grad = jax.value_and_grad(pppm_reciprocal_energy)(
+                position, charge, box_L, self.pppm, self.pppm_order, self.pppm_mesh
+            )
+            f_corr, e_corr = ewald_exclusion_correction(
+                position, box_L, charge, self.kappa, bond_group
+            )
+            e_self = ewald_self_energy(charge, self.kappa)
+            forces = forces - grad - f_corr
+            energies["ewald_long"] = e_rec - e_self - e_corr
+
+        if self.enable_cavity:
+            f, e = cavity_force(
+                position, image, box_L, charge, typeid, self.l_typeid, self.cavity
+            )
+            forces = forces + f
+            energies["cavity_harmonic"] = e["harmonic"]
+            energies["cavity_coupling"] = e["coupling"]
+            energies["cavity_dipole_self"] = e["dipole_self"]
+
+        return forces, energies
+
+    @staticmethod
+    def create(
+        snapshot: Snapshot,
+        *,
+        coupling: float = 1e-3,
+        freq_cm1: float = 2000.0,
+        phmass: float = 1.0,
+        enable_cavity: bool = True,
+        enable_coulomb: bool = True,
+        enable_lj: bool = True,
+        enable_bonds: bool = True,
+        lj_params: dict | None = None,
+        bond_params: dict | None = None,
+        r_cut: float = 15.0,
+        pppm_mesh: Tuple[int, int, int] = (32, 32, 32),
+        pppm_order: int = 6,
+        kappa: float | None = None,
+        ewald_accuracy: float = 1e-6,
+        dtype=None,
+    ) -> "ForceField":
+        """Build the reference workflow's force mix for a snapshot.
+
+        Defaults reproduce ``examples/05_advanced_run.py:556-608``: cavity
+        force (omega_c from cm^-1), O-O/N-N harmonic bonds, shifted LJ with
+        r_cut 15 and photon-inert 'L' rows, PPPM 32^3 order 6.
+        """
+        from cavmd_tpu.core.system import BOND_PARAMS, LJ_PARAMS
+        from cavmd_tpu.core.units import PhysicalConstants
+
+        dtype = dtype or snapshot.position.dtype
+        lj_params = lj_params if lj_params is not None else LJ_PARAMS
+        bond_params = bond_params if bond_params is not None else BOND_PARAMS
+
+        bond_types = snapshot.bond_types or tuple(bond_params.keys())
+        bond_k = jnp.asarray([bond_params[t]["k"] for t in bond_types], dtype)
+        bond_r0 = jnp.asarray([bond_params[t]["r0"] for t in bond_types], dtype)
+
+        types = list(snapshot.types)
+        eps, sig, rcut_t = lj_pair_tables(
+            types,
+            {k: dict(**v, r_cut=v.get("r_cut", r_cut)) for k, v in lj_params.items()},
+            dtype=dtype,
+        )
+        excl = bond_exclusion_mask(snapshot.N, snapshot.bond_group)
+
+        kappa_val = kappa if kappa is not None else auto_kappa(r_cut, ewald_accuracy)
+        pppm, order = PPPMParams.create(
+            np.asarray(snapshot.box_L), mesh=pppm_mesh, order=pppm_order,
+            kappa=kappa_val, dtype=dtype,
+        )
+
+        omegac = PhysicalConstants.omega_from_cm1(freq_cm1)
+        cav = CavityParams.create(omegac, coupling, phmass, dtype=dtype)
+
+        l_typeid = types.index("L") if "L" in types else -1
+
+        return ForceField(
+            bond_k=bond_k,
+            bond_r0=bond_r0,
+            lj_eps=eps,
+            lj_sigma=sig,
+            lj_rcut=rcut_t,
+            excl_mask=excl,
+            cavity=cav,
+            kappa=jnp.asarray(kappa_val, dtype),
+            pppm=pppm,
+            l_typeid=l_typeid,
+            coulomb_rcut=r_cut,
+            pppm_order=order,
+            pppm_mesh=tuple(pppm_mesh),
+            enable_cavity=enable_cavity and l_typeid >= 0,
+            enable_coulomb=enable_coulomb,
+            enable_lj=enable_lj,
+            enable_bonds=enable_bonds,
+        )
+
+
+jax.tree_util.register_dataclass(
+    ForceField,
+    data_fields=[
+        "bond_k", "bond_r0", "lj_eps", "lj_sigma", "lj_rcut", "excl_mask",
+        "cavity", "kappa", "pppm",
+    ],
+    meta_fields=[
+        "l_typeid", "coulomb_rcut", "pppm_order", "pppm_mesh",
+        "enable_cavity", "enable_coulomb", "enable_lj", "enable_bonds",
+    ],
+)

@@ -1,0 +1,342 @@
+"""The MD integrator: one pure, fused step function under ``lax.scan``.
+
+This inverts the reference architecture (SURVEY.md §3.2): where HOOMD's C++
+integrator calls back into plugin force/thermostat objects with 2-3 host
+syncs per step (CavityForceComputeGPU.cu:549,597; GPU.cc:195-204), here the
+*entire* step — two-group thermostatting, velocity-Verlet, all forces, the
+cavity's global dipole reduction, reservoir accounting, observables — is a
+single traced function. ``lax.scan`` chains thousands of steps into one
+XLA program; nothing touches the host until a chunk of observables is
+streamed out.
+
+Integration protocol per step (HOOMD two-half-step thermostat protocol,
+src/Thermostat.h:44-73, adapted to a symmetric, exactly-tallied form):
+
+1. rescale half 1: Bussi alpha from KE(v(t)) applied to v(t) (reservoir
+   += KE (1-alpha^2)); MTTK/Berendsen factor applied.
+2. velocity-Verlet: v += dt/2 a(t); x += dt v; re-wrap.
+3. all forces recomputed (fused; one dipole psum).
+4. v += dt/2 a(t+dt).
+5. rescale half 2 (MTTK only) + MTTK (xi, eta) advance.
+6. Langevin groups: exact OU velocity update, reservoir += KE loss.
+
+Group membership is by particle type (molecular = not-'L', cavity = 'L'),
+so masks and DOF are static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cavmd_tpu.core.box import rewrap
+from cavmd_tpu.core.snapshot import Snapshot
+from cavmd_tpu.integrate.forcefield import ForceField
+from cavmd_tpu.integrate.rng import (
+    STREAM_BUSSI,
+    STREAM_LANGEVIN,
+    master_key,
+    stream_key,
+)
+from cavmd_tpu.integrate.thermostats import (
+    MTTKState,
+    berendsen_factor,
+    bussi_apply,
+    kinetic_energy,
+    langevin_ou_apply,
+    mttk_advance,
+    mttk_rescale_factor,
+)
+
+# group slots for reservoir bookkeeping (index into the (2,) accumulators)
+MOLECULAR, CAVITY = 0, 1
+
+
+class MethodSpec(NamedTuple):
+    """Static description of one integration method (HOOMD ``methods`` entry).
+
+    Parity: reference two-bath split (05_advanced_run.py:610-695) —
+    methods[0] = molecular bath over Type['O','N'], methods[1] = cavity bath
+    over Type['L'], each one of bussi | langevin | mttk | berendsen | nve.
+    """
+
+    kind: str  # 'nve' | 'bussi' | 'langevin' | 'mttk' | 'berendsen'
+    group: str  # 'molecular' | 'cavity' | 'all'
+    kT: float = 0.0
+    tau: float = 0.0  # thermostat time constant, a.u. (bussi/mttk/berendsen)
+    gamma: float = 0.0  # friction, 1/a.u. (langevin)
+    dof: float = 0.0  # translational DOF of the group (filled by build)
+
+
+@dataclasses.dataclass(frozen=True)
+class MDState:
+    """Full dynamic state of the simulation — one pytree through scan."""
+
+    # particle data
+    position: jnp.ndarray
+    image: jnp.ndarray
+    velocity: jnp.ndarray
+    mass: jnp.ndarray
+    charge: jnp.ndarray
+    typeid: jnp.ndarray
+    bond_group: jnp.ndarray
+    bond_typeid: jnp.ndarray
+    box_L: jnp.ndarray
+    # cached forces F(t) (avoids recomputation at step start)
+    forces: jnp.ndarray
+    # time
+    dt: jnp.ndarray
+    time_au: jnp.ndarray
+    timestep: jnp.ndarray  # int32
+    # RNG
+    key: jnp.ndarray
+    # thermostat accumulators: [molecular, cavity] slots
+    bussi_reservoir: jnp.ndarray  # (2,) cumulative
+    bussi_reservoir_rot: jnp.ndarray  # (2,) rotational (0 for point particles)
+    bussi_instantaneous: jnp.ndarray  # (2,) last-step delta
+    langevin_reservoir: jnp.ndarray  # (2,)
+    mttk: MTTKState  # xi/eta arrays of shape (2,)
+    # adaptive timestep controller state
+    error_tolerance: jnp.ndarray  # current effective tolerance (0 = fixed dt)
+
+    def replace(self, **kw) -> "MDState":
+        return dataclasses.replace(self, **kw)
+
+
+jax.tree_util.register_dataclass(
+    MDState,
+    data_fields=[
+        "position", "image", "velocity", "mass", "charge", "typeid",
+        "bond_group", "bond_typeid", "box_L", "forces",
+        "dt", "time_au", "timestep", "key",
+        "bussi_reservoir", "bussi_reservoir_rot", "bussi_instantaneous",
+        "langevin_reservoir", "mttk", "error_tolerance",
+    ],
+    meta_fields=[],
+)
+
+
+def group_mask(typeid, l_typeid: int, group: str):
+    if group == "molecular":
+        return typeid != l_typeid
+    if group == "cavity":
+        return typeid == l_typeid
+    if group == "all":
+        return jnp.ones_like(typeid, dtype=bool)
+    raise ValueError(f"unknown group '{group}'")
+
+
+def group_slot(group: str) -> int:
+    return CAVITY if group == "cavity" else MOLECULAR
+
+
+def resolve_methods(
+    snapshot: Snapshot, methods: Tuple[MethodSpec, ...], l_typeid: int
+) -> Tuple[MethodSpec, ...]:
+    """Fill in static group DOF counts (3 * N_group; the convention the
+    reference energy audit uses, analysis.py:548-551)."""
+    typeid = np.asarray(snapshot.typeid)
+    out = []
+    for m in methods:
+        if m.group == "molecular":
+            n = int(np.sum(typeid != l_typeid))
+        elif m.group == "cavity":
+            n = int(np.sum(typeid == l_typeid))
+        else:
+            n = len(typeid)
+        out.append(m._replace(dof=3.0 * n))
+    return tuple(out)
+
+
+def init_state(
+    snapshot: Snapshot,
+    ff: ForceField,
+    *,
+    dt: float,
+    seed: int = 0,
+    error_tolerance: float = 0.0,
+) -> MDState:
+    """Build the initial MDState (computes initial forces once)."""
+    dtype = snapshot.position.dtype
+    forces, _ = ff.compute(
+        snapshot.position, snapshot.image, snapshot.box_L, snapshot.charge,
+        snapshot.typeid, snapshot.bond_group, snapshot.bond_typeid,
+    )
+    z2 = jnp.zeros((2,), dtype)
+    return MDState(
+        position=snapshot.position,
+        image=snapshot.image,
+        velocity=snapshot.velocity,
+        mass=snapshot.mass,
+        charge=snapshot.charge,
+        typeid=snapshot.typeid,
+        bond_group=snapshot.bond_group,
+        bond_typeid=snapshot.bond_typeid,
+        box_L=snapshot.box_L,
+        forces=forces,
+        dt=jnp.asarray(dt, dtype),
+        time_au=jnp.zeros((), dtype),
+        timestep=jnp.zeros((), jnp.int32),
+        key=master_key(seed),
+        bussi_reservoir=z2,
+        bussi_reservoir_rot=z2,
+        bussi_instantaneous=z2,
+        langevin_reservoir=z2,
+        mttk=MTTKState(xi=z2, eta=z2),
+        error_tolerance=jnp.asarray(error_tolerance, dtype),
+    )
+
+
+def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...]):
+    """Build the fused per-step function ``step(state) -> (state, obs)``.
+
+    ``obs`` carries the per-step energy audit (every column of the
+    reference EnergyTracker, analysis.py:661-671, computed on-device).
+    """
+    l_typeid = ff.l_typeid
+
+    def step(state: MDState):
+        dtype = state.position.dtype
+        dt = state.dt
+        v = state.velocity
+        bussi_res = state.bussi_reservoir
+        bussi_inst = state.bussi_instantaneous
+        langevin_res = state.langevin_reservoir
+        mttk = state.mttk
+
+        # ---- thermostat half 1 ----
+        for i, m in enumerate(methods):
+            mask = group_mask(state.typeid, l_typeid, m.group)
+            slot = group_slot(m.group)
+            if m.kind == "bussi":
+                key = stream_key(state.key, STREAM_BUSSI, state.timestep, i)
+                v, dres = bussi_apply(
+                    v, state.mass, mask, m.dof, dt,
+                    jnp.asarray(m.tau, dtype), jnp.asarray(m.kT, dtype), key,
+                )
+                bussi_res = bussi_res.at[slot].add(dres)
+                bussi_inst = bussi_inst.at[slot].set(dres)
+            elif m.kind == "mttk":
+                alpha = mttk_rescale_factor(
+                    MTTKState(xi=mttk.xi[slot], eta=mttk.eta[slot]), dt
+                )
+                v = jnp.where(mask[:, None], alpha * v, v)
+            elif m.kind == "berendsen":
+                ke = kinetic_energy(v, state.mass, mask)
+                cur_T = 2.0 * ke / m.dof
+                lam = berendsen_factor(
+                    cur_T, jnp.asarray(m.kT, dtype), dt, jnp.asarray(m.tau, dtype)
+                )
+                v = jnp.where(mask[:, None], lam * v, v)
+
+        # ---- velocity Verlet ----
+        inv_m = 1.0 / state.mass[:, None]
+        v = v + 0.5 * dt * state.forces * inv_m
+        pos = state.position + dt * v
+        pos, image = rewrap(pos, state.image, state.box_L)
+
+        forces, energies = ff.compute(
+            pos, image, state.box_L, state.charge, state.typeid,
+            state.bond_group, state.bond_typeid,
+        )
+        v = v + 0.5 * dt * forces * inv_m
+
+        # ---- thermostat half 2 (MTTK) + Langevin O-step ----
+        for i, m in enumerate(methods):
+            mask = group_mask(state.typeid, l_typeid, m.group)
+            slot = group_slot(m.group)
+            if m.kind == "mttk":
+                st = MTTKState(xi=mttk.xi[slot], eta=mttk.eta[slot])
+                alpha = mttk_rescale_factor(st, dt)
+                v = jnp.where(mask[:, None], alpha * v, v)
+                ke = kinetic_energy(v, state.mass, mask)
+                cur_T = 2.0 * ke / m.dof
+                st = mttk_advance(
+                    st, cur_T, jnp.asarray(m.kT, dtype), m.dof, dt,
+                    jnp.asarray(m.tau, dtype),
+                )
+                mttk = MTTKState(
+                    xi=mttk.xi.at[slot].set(st.xi),
+                    eta=mttk.eta.at[slot].set(st.eta),
+                )
+            elif m.kind == "langevin":
+                key = stream_key(state.key, STREAM_LANGEVIN, state.timestep, i)
+                v, dres = langevin_ou_apply(
+                    v, state.mass, mask, jnp.asarray(m.gamma, dtype),
+                    jnp.asarray(m.kT, dtype), dt, key,
+                )
+                langevin_res = langevin_res.at[slot].add(dres)
+
+        # ---- bookkeeping + observables ----
+        mol_mask = group_mask(state.typeid, l_typeid, "molecular")
+        cav_mask = ~mol_mask
+        ke_mol = kinetic_energy(v, state.mass, mol_mask)
+        ke_cav = kinetic_energy(v, state.mass, cav_mask)
+
+        new_state = state.replace(
+            position=pos,
+            image=image,
+            velocity=v,
+            forces=forces,
+            time_au=state.time_au + dt,
+            timestep=state.timestep + 1,
+            bussi_reservoir=bussi_res,
+            bussi_instantaneous=bussi_inst,
+            langevin_reservoir=langevin_res,
+            mttk=mttk,
+        )
+
+        obs = dict(energies)
+        obs["kinetic_molecular"] = ke_mol
+        obs["kinetic_cavity"] = ke_cav
+        obs["bussi_reservoir_molecular"] = bussi_res[MOLECULAR]
+        obs["bussi_reservoir_cavity"] = bussi_res[CAVITY]
+        obs["langevin_reservoir_molecular"] = langevin_res[MOLECULAR]
+        obs["langevin_reservoir_cavity"] = langevin_res[CAVITY]
+        obs["dt"] = dt
+        obs["time_au"] = new_state.time_au
+        obs["timestep"] = new_state.timestep
+        return new_state, obs
+
+    return step
+
+
+def run_steps(step_fn, state: MDState, n_steps: int):
+    """Scan ``n_steps`` fused steps; returns (final_state, stacked_obs)."""
+
+    def body(carry, _):
+        new_state, obs = step_fn(carry)
+        return new_state, obs
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
+def potential_energy(energies) -> jnp.ndarray:
+    """Total PE = molecular + cavity components (analysis.py:763-812)."""
+    return (
+        energies["harmonic"]
+        + energies["lj"]
+        + energies["ewald_short"]
+        + energies["ewald_long"]
+        + energies["cavity_harmonic"]
+        + energies["cavity_coupling"]
+        + energies["cavity_dipole_self"]
+    )
+
+
+def universe_energy(obs) -> jnp.ndarray:
+    """The conserved quantity: system (KE+PE) + all reservoir energies
+    (reference analysis.py:945-958)."""
+    return (
+        potential_energy(obs)
+        + obs["kinetic_molecular"]
+        + obs["kinetic_cavity"]
+        + obs["bussi_reservoir_molecular"]
+        + obs["bussi_reservoir_cavity"]
+        + obs["langevin_reservoir_molecular"]
+        + obs["langevin_reservoir_cavity"]
+    )
