@@ -191,11 +191,13 @@ def init_state(
     )
 
 
-def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...]):
+def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None):
     """Build the fused per-step function ``step(state) -> (state, obs)``.
 
     ``obs`` carries the per-step energy audit (every column of the
     reference EnergyTracker, analysis.py:661-671, computed on-device).
+    ``extra_obs(state) -> dict`` optionally appends observables (dipole,
+    rho(k), ...) computed on-device inside the same fused step.
     """
     l_typeid = ff.l_typeid
 
@@ -300,6 +302,8 @@ def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...]):
         obs["dt"] = dt
         obs["time_au"] = new_state.time_au
         obs["timestep"] = new_state.timestep
+        if extra_obs is not None:
+            obs.update(extra_obs(new_state))
         return new_state, obs
 
     return step

@@ -1,0 +1,349 @@
+"""GSD trajectory I/O: a from-scratch codec for the GSD v1 file format with
+the HOOMD schema, written from the public format specification.
+
+Replaces the consumed ``gsd.hoomd`` / ``hoomd.write.GSD`` surface
+(SURVEY.md §2.3; reference usage 05_advanced_run.py:404-419, 1231-1249):
+frame-addressed read (any frame can seed a new run = the checkpoint/resume
+mechanism, SURVEY.md §5), append-mode write with dynamic
+property/momentum/topology chunks, and frame-0 default inheritance.
+
+File layout (GSD v1):
+  header(256B): magic, index_location, index_allocated_entries,
+    namelist_location, namelist_allocated_entries, schema_version,
+    gsd_version, application[64], schema[64], reserved[80]
+  index: 32B entries (frame u64, N u64, location i64, M u32, id u16,
+    type u8, flags u8), sorted by (frame, id); location 0 = unused
+  namelist: 64B zero-padded names
+  data: raw arrays
+
+A faster C++ codec can be slotted in behind the same API
+(:mod:`cavmd_tpu.io` dispatches), but file writing is not on the hot path —
+trajectory output is ~per-50 ps (05_advanced_run.py defaults).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+MAGIC = 0x65DF65DF65DF65DF
+GSD_VERSION = (1 << 16) | 0  # 1.0
+HEADER_FMT = "<QQQQQII64s64s80s"
+HEADER_SIZE = struct.calcsize(HEADER_FMT)
+INDEX_FMT = "<QQqIHBB"
+INDEX_SIZE = struct.calcsize(INDEX_FMT)
+NAME_SIZE = 64
+
+_TYPES = {
+    1: np.uint8, 2: np.uint16, 3: np.uint32, 4: np.uint64,
+    5: np.int8, 6: np.int16, 7: np.int32, 8: np.int64,
+    9: np.float32, 10: np.float64,
+}
+_TYPE_IDS = {np.dtype(v): k for k, v in _TYPES.items()}
+
+assert HEADER_SIZE == 256
+
+
+class GSDFile:
+    """Low-level chunked frame store (the ``gsd.fl`` layer)."""
+
+    def __init__(self, path, mode="r", application="cavmd_tpu", schema="hoomd",
+                 schema_version=(1, 4)):
+        self.path = path
+        self.mode = mode
+        self._names: list[str] = []
+        self._name_to_id: dict[str, int] = {}
+        self._index: list[tuple] = []  # (frame, N, location, M, id, type, flags)
+        self._pending: list[tuple] = []
+        self._nframes = 0
+        if mode == "r" or (mode == "a" and os.path.exists(path)):
+            self._f = open(path, "r+b" if mode == "a" else "rb")
+            self._read_metadata()
+        elif mode in ("w", "a"):
+            self._f = open(path, "w+b")
+            self.application = application
+            self.schema = schema
+            self.schema_version = (schema_version[0] << 16) | schema_version[1]
+            self._f.write(b"\0" * HEADER_SIZE)
+            self._write_metadata()
+        else:
+            raise ValueError(f"bad mode {mode}")
+
+    # -------------------------------------------------------------- metadata
+    def _read_metadata(self):
+        self._f.seek(0)
+        raw = self._f.read(HEADER_SIZE)
+        (magic, index_loc, index_n, name_loc, name_n, schema_version,
+         gsd_version, app, schema, _res) = struct.unpack(HEADER_FMT, raw)
+        if magic != MAGIC:
+            raise ValueError(f"{self.path}: not a GSD file (bad magic)")
+        self.application = app.rstrip(b"\0").decode()
+        self.schema = schema.rstrip(b"\0").decode()
+        self.schema_version = schema_version
+        self._f.seek(name_loc)
+        names_raw = self._f.read(name_n * NAME_SIZE)
+        self._names = []
+        for i in range(name_n):
+            nm = names_raw[i * NAME_SIZE:(i + 1) * NAME_SIZE].rstrip(b"\0")
+            if nm:
+                self._names.append(nm.decode())
+        self._name_to_id = {n: i for i, n in enumerate(self._names)}
+        self._f.seek(index_loc)
+        idx_raw = self._f.read(index_n * INDEX_SIZE)
+        self._index = []
+        for i in range(index_n):
+            entry = struct.unpack_from(INDEX_FMT, idx_raw, i * INDEX_SIZE)
+            if entry[2] != 0:  # location 0 = unused slot
+                self._index.append(entry)
+        self._nframes = (max(e[0] for e in self._index) + 1) if self._index else 0
+
+    def _write_metadata(self):
+        """Rewrite namelist + index + header at the current end of file."""
+        f = self._f
+        f.seek(0, os.SEEK_END)
+        index_loc = f.tell()
+        index_n = max(len(self._index), 1)
+        for e in sorted(self._index, key=lambda e: (e[0], e[4])):
+            f.write(struct.pack(INDEX_FMT, *e))
+        if not self._index:
+            f.write(b"\0" * INDEX_SIZE)
+        name_loc = f.tell()
+        name_n = max(len(self._names), 1)
+        for n in self._names:
+            f.write(n.encode().ljust(NAME_SIZE, b"\0")[:NAME_SIZE])
+        if not self._names:
+            f.write(b"\0" * NAME_SIZE)
+        header = struct.pack(
+            HEADER_FMT, MAGIC, index_loc, index_n, name_loc, name_n,
+            self.schema_version, GSD_VERSION,
+            self.application.encode()[:64].ljust(64, b"\0"),
+            self.schema.encode()[:64].ljust(64, b"\0"), b"\0" * 80,
+        )
+        f.seek(0)
+        f.write(header)
+        f.flush()
+
+    # ------------------------------------------------------------------- api
+    @property
+    def nframes(self) -> int:
+        return self._nframes
+
+    def __len__(self):
+        return self._nframes
+
+    def write_chunk(self, name: str, data: np.ndarray):
+        data = np.ascontiguousarray(data)
+        if data.ndim == 1:
+            data = data[:, None]
+        if data.ndim != 2:
+            raise ValueError("chunks must be 1D or 2D")
+        if name not in self._name_to_id:
+            self._name_to_id[name] = len(self._names)
+            self._names.append(name)
+        self._f.seek(0, os.SEEK_END)
+        loc = self._f.tell()
+        self._f.write(data.tobytes())
+        self._pending.append((
+            self._nframes, data.shape[0], loc, data.shape[1],
+            self._name_to_id[name], _TYPE_IDS[data.dtype], 0,
+        ))
+
+    def end_frame(self):
+        self._index.extend(self._pending)
+        self._pending = []
+        self._nframes += 1
+        self._write_metadata()
+
+    def begin_frame(self):
+        self._pending = []
+
+    def chunk_exists(self, frame: int, name: str) -> bool:
+        nid = self._name_to_id.get(name)
+        if nid is None:
+            return False
+        return any(e[0] == frame and e[4] == nid for e in self._index)
+
+    def read_chunk(self, frame: int, name: str) -> Optional[np.ndarray]:
+        nid = self._name_to_id.get(name)
+        if nid is None:
+            return None
+        for e in self._index:
+            if e[0] == frame and e[4] == nid:
+                _, n, loc, m, _, tid, _ = e
+                dtype = _TYPES[tid]
+                self._f.seek(loc)
+                raw = self._f.read(n * m * np.dtype(dtype).itemsize)
+                arr = np.frombuffer(raw, dtype=dtype).reshape(n, m)
+                return arr[:, 0] if m == 1 else arr
+        return None
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def _encode_types(types) -> np.ndarray:
+    """Type names as an (n, max_len+1) int8 array (HOOMD schema convention)."""
+    if not types:
+        types = ("A",)
+    width = max(len(t) for t in types) + 1
+    out = np.zeros((len(types), width), dtype=np.int8)
+    for i, t in enumerate(types):
+        b = t.encode()
+        out[i, : len(b)] = np.frombuffer(b, dtype=np.int8)
+    return out
+
+
+def _decode_types(arr) -> tuple:
+    if arr is None:
+        return ("A",)
+    arr = np.atleast_2d(np.asarray(arr, dtype=np.int8))
+    return tuple(
+        bytes(row[row != 0].astype(np.uint8)).decode() for row in arr
+    )
+
+
+class HOOMDTrajectory:
+    """Frame-level reader/writer mapping Snapshot <-> HOOMD-schema chunks.
+
+    Mirrors ``gsd.hoomd.open`` usage in the reference driver
+    (05_advanced_run.py:404-419): indexing by frame (negative indices OK),
+    frame-0 default inheritance for static chunks.
+    """
+
+    def __init__(self, path, mode="r"):
+        self.file = GSDFile(path, mode)
+
+    def __len__(self):
+        return self.file.nframes
+
+    def close(self):
+        self.file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    # ----------------------------------------------------------------- write
+    def append(self, snapshot, *, step: int = 0, dtype=np.float32):
+        """Write one frame from a Snapshot."""
+        f = self.file
+        f.begin_frame()
+        n = snapshot.N
+        box = np.asarray(snapshot.box_L, dtype=np.float32)
+        f.write_chunk("configuration/step", np.asarray([step], np.uint64))
+        f.write_chunk("configuration/dimensions", np.asarray([3], np.uint8))
+        f.write_chunk(
+            "configuration/box",
+            np.asarray([box[0], box[1], box[2], 0, 0, 0], np.float32),
+        )
+        f.write_chunk("particles/N", np.asarray([n], np.uint32))
+        f.write_chunk("particles/types", _encode_types(snapshot.types))
+        f.write_chunk("particles/typeid", np.asarray(snapshot.typeid, np.uint32))
+        f.write_chunk("particles/position", np.asarray(snapshot.position, dtype))
+        f.write_chunk("particles/velocity", np.asarray(snapshot.velocity, dtype))
+        f.write_chunk("particles/image", np.asarray(snapshot.image, np.int32))
+        f.write_chunk("particles/mass", np.asarray(snapshot.mass, dtype))
+        f.write_chunk("particles/charge", np.asarray(snapshot.charge, dtype))
+        f.write_chunk("particles/diameter", np.asarray(snapshot.diameter, dtype))
+        nb = snapshot.n_bonds
+        f.write_chunk("bonds/N", np.asarray([nb], np.uint32))
+        if nb:
+            f.write_chunk("bonds/types", _encode_types(snapshot.bond_types))
+            f.write_chunk("bonds/typeid", np.asarray(snapshot.bond_typeid, np.uint32))
+            f.write_chunk("bonds/group", np.asarray(snapshot.bond_group, np.uint32))
+        f.end_frame()
+
+    # ------------------------------------------------------------------ read
+    def _chunk(self, frame, name, default=None):
+        """Read with frame-0 fallback (GSD default inheritance)."""
+        v = self.file.read_chunk(frame, name)
+        if v is None and frame != 0:
+            v = self.file.read_chunk(0, name)
+        return default if v is None else v
+
+    def read_frame(self, frame: int, dtype=None):
+        """Read one frame into a Snapshot (negative indices allowed)."""
+        from cavmd_tpu.core.snapshot import Snapshot
+
+        nf = len(self)
+        if nf == 0:
+            raise IndexError("empty trajectory")
+        if frame < 0:
+            frame = max(nf + frame, 0)
+        if frame >= nf:
+            raise IndexError(f"frame {frame} out of range ({nf} frames)")
+
+        n = int(self._chunk(frame, "particles/N")[0])
+        box = self._chunk(frame, "configuration/box")
+        types = _decode_types(self._chunk(frame, "particles/types"))
+        zeros3 = np.zeros((n, 3))
+        nb_arr = self._chunk(frame, "bonds/N", np.asarray([0], np.uint32))
+        nb = int(nb_arr[0])
+        bond_types = (
+            _decode_types(self._chunk(frame, "bonds/types")) if nb else ()
+        )
+        return Snapshot.create(
+            position=np.asarray(self._chunk(frame, "particles/position", zeros3)),
+            box_L=np.asarray(box[:3], float),
+            velocity=np.asarray(self._chunk(frame, "particles/velocity", zeros3)),
+            image=np.asarray(self._chunk(frame, "particles/image", zeros3), np.int32),
+            mass=np.asarray(self._chunk(frame, "particles/mass", np.ones(n))),
+            charge=np.asarray(self._chunk(frame, "particles/charge", np.zeros(n))),
+            diameter=np.asarray(self._chunk(frame, "particles/diameter", np.ones(n))),
+            typeid=np.asarray(self._chunk(frame, "particles/typeid", np.zeros(n)), np.int32),
+            types=types,
+            bond_group=(
+                np.asarray(self._chunk(frame, "bonds/group"), np.int32)
+                if nb else None
+            ),
+            bond_typeid=(
+                np.asarray(self._chunk(frame, "bonds/typeid"), np.int32)
+                if nb else None
+            ),
+            bond_types=bond_types,
+            dtype=dtype,
+        )
+
+    def __getitem__(self, frame):
+        return self.read_frame(frame)
+
+
+def open_gsd(path, mode="r"):
+    """Open a HOOMD-schema GSD trajectory (``gsd.hoomd.open`` analog)."""
+    return HOOMDTrajectory(path, mode)
+
+
+class GSDWriter:
+    """Periodic trajectory writer (parity: ``hoomd.write.GSD`` attached to
+    the reference workflow, 05_advanced_run.py:1231-1249). Writes a frame
+    whenever simulated time crosses the output period; append or truncate."""
+
+    def __init__(self, path, output_period_ps=50.0, truncate=False, dtype=np.float32):
+        mode = "w" if truncate or not os.path.exists(path) else "a"
+        self.traj = HOOMDTrajectory(path, mode)
+        self.output_period_ps = output_period_ps
+        self.last_output_ps = -1e30
+        self.dtype = dtype
+
+    def write_now(self, sim):
+        self.traj.append(sim.get_snapshot(), step=sim.timestep, dtype=self.dtype)
+
+    def consume(self, obs, sim):
+        t_ps = sim.elapsed_ps
+        if t_ps - self.last_output_ps >= self.output_period_ps:
+            self.write_now(sim)
+            self.last_output_ps = t_ps
+
+    def close(self):
+        self.traj.close()

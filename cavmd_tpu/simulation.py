@@ -1,0 +1,159 @@
+"""Simulation facade: the ``hoomd.Simulation`` analog gluing state, forces,
+methods, trackers and writers into a chunked scanned run.
+
+Rebuilds the consumed HOOMD surface (SURVEY.md §2.3): create-state-from-
+snapshot/GSD, momentum thermalization, an integrator with pluggable methods,
+custom "actions" (trackers), periodic writers, and ``run()``. The execution
+model inverts HOOMD's: instead of per-step host callbacks, the device runs
+``chunk_size`` fused steps per ``lax.scan`` invocation and the host consumes
+the streamed observable chunk between scans (trackers, console table, GSD
+frames, runtime termination — replacing the reference's in-loop
+``sys.exit(0)``, analysis.py:1256-1259).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import numpy as np
+
+from cavmd_tpu.core.snapshot import Snapshot
+from cavmd_tpu.core.units import PhysicalConstants
+from cavmd_tpu.integrate.adaptive import compute_optimal_dt, make_adaptive_step
+from cavmd_tpu.integrate.forcefield import ForceField
+from cavmd_tpu.integrate.integrator import (
+    MDState,
+    MethodSpec,
+    init_state,
+    make_step_fn,
+    resolve_methods,
+    run_steps,
+)
+from cavmd_tpu.integrate.rng import STREAM_THERMALIZE, master_key, stream_key
+from cavmd_tpu.integrate.thermostats import thermalize_velocities
+
+
+class Simulation:
+    """A single MD simulation on the current default JAX device."""
+
+    def __init__(
+        self,
+        snapshot: Snapshot,
+        forcefield: ForceField,
+        methods: Sequence[MethodSpec],
+        *,
+        dt: float,
+        seed: int = 0,
+        error_tolerance: float = 0.0,
+        adaptive_initial_fraction: float = 1e-3,
+        adaptive_time_constant_ps: float = 50.0,
+        adaptive_period: int = 1,
+        extra_obs: Callable | None = None,
+        chunk_size: int = 1000,
+    ):
+        self.snapshot = snapshot
+        self.ff = forcefield
+        self.methods = resolve_methods(snapshot, tuple(methods), forcefield.l_typeid)
+        self.seed = seed
+        self.chunk_size = chunk_size
+        self.trackers: list = []
+        self.writers: list = []
+
+        step = make_step_fn(self.ff, self.methods, extra_obs=extra_obs)
+        if error_tolerance > 0:
+            step = make_adaptive_step(
+                step,
+                error_tolerance=error_tolerance,
+                initial_fraction=adaptive_initial_fraction,
+                time_constant_ps=adaptive_time_constant_ps,
+                period=adaptive_period,
+            )
+        self._step = step
+        self._run_chunk = jax.jit(
+            lambda state, n: run_steps(self._step, state, n),
+            static_argnums=(1,),
+        )
+        self.state: MDState = init_state(
+            snapshot, forcefield, dt=dt, seed=seed,
+            error_tolerance=error_tolerance,
+        )
+        self.error_tolerance = error_tolerance
+
+    # ------------------------------------------------------------------ setup
+    def thermalize(self, kT, *, molecular_only=True, photon_kT=None, seed=None):
+        """Maxwell-Boltzmann momenta (reference 05_advanced_run.py:710-754):
+        molecular particles via ``thermalize_particle_momenta`` semantics,
+        photon velocity drawn N(0, sqrt(kT/m)) separately."""
+        seed = self.seed if seed is None else seed
+        key = stream_key(master_key(seed), STREAM_THERMALIZE, 0)
+        typeid = np.asarray(self.state.typeid)
+        l_typeid = self.ff.l_typeid
+        mol_mask = (
+            (self.state.typeid != l_typeid)
+            if molecular_only
+            else np.ones_like(typeid, bool)
+        )
+        import jax.numpy as jnp
+
+        v = thermalize_velocities(key, self.state.mass, jnp.asarray(mol_mask), kT)
+        if molecular_only and l_typeid >= 0 and (typeid == l_typeid).any():
+            k2 = stream_key(master_key(seed), STREAM_THERMALIZE, 1)
+            pk = photon_kT if photon_kT is not None else kT
+            cav_mask = self.state.typeid == l_typeid
+            v_cav = thermalize_velocities(
+                k2, self.state.mass, cav_mask, pk, remove_drift=False
+            )
+            v = v + v_cav
+        self.state = self.state.replace(velocity=v)
+
+    def set_optimal_timestep(self, tolerance: float):
+        """Bootstrap dt from current forces (05_advanced_run.py:756-819)."""
+        new_dt = compute_optimal_dt(self.state.forces, self.state.mass, tolerance)
+        self.state = self.state.replace(dt=new_dt)
+        return float(new_dt)
+
+    # -------------------------------------------------------------------- run
+    def run(self, *, n_steps: int | None = None, runtime_ps: float | None = None):
+        """Run until ``n_steps`` or ``runtime_ps`` (whichever given).
+
+        Observables stream to trackers/writers once per chunk.
+        """
+        if n_steps is None and runtime_ps is None:
+            raise ValueError("give n_steps or runtime_ps")
+        steps_done = 0
+        while True:
+            if n_steps is not None:
+                remaining = n_steps - steps_done
+                if remaining <= 0:
+                    break
+                chunk = min(self.chunk_size, remaining)
+            else:
+                chunk = self.chunk_size
+            self.state, obs = self._run_chunk(self.state, chunk)
+            obs_np = {k: np.asarray(v) for k, v in obs.items()}
+            for tracker in self.trackers:
+                tracker.consume(obs_np)
+            for writer in self.writers:
+                writer.consume(obs_np, self)
+            steps_done += chunk
+            if runtime_ps is not None:
+                if float(obs_np["time_au"][-1]) * PhysicalConstants.TIME_PS_CONVERSION >= runtime_ps:
+                    break
+        return steps_done
+
+    # ------------------------------------------------------------------ state
+    @property
+    def timestep(self) -> int:
+        return int(self.state.timestep)
+
+    @property
+    def elapsed_ps(self) -> float:
+        return float(self.state.time_au) * PhysicalConstants.TIME_PS_CONVERSION
+
+    def get_snapshot(self) -> Snapshot:
+        """Export the current state as a Snapshot (GSD-compatible)."""
+        s = self.state
+        return self.snapshot.replace(
+            position=s.position, image=s.image, velocity=s.velocity,
+        )

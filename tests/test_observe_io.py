@@ -1,0 +1,199 @@
+"""Trackers, Simulation facade, GSD I/O round-trip tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cavmd_tpu.core import PhysicalConstants as PC
+from cavmd_tpu.core import add_cavity_particle, make_diatomic_system
+from cavmd_tpu.integrate import ForceField, MethodSpec
+from cavmd_tpu.io import GSDWriter, HOOMDTrajectory, TableWriter, open_gsd
+from cavmd_tpu.observe import (
+    CavityModeTracker,
+    DipoleAutocorrelation,
+    ElapsedTimeTracker,
+    EnergyTracker,
+    FieldAutocorrelationTracker,
+    PerformanceTracker,
+    compute_density_field,
+    compute_total_dipole_moment,
+    generate_fibonacci_sphere,
+    make_extra_obs,
+)
+from cavmd_tpu.simulation import Simulation
+
+
+@pytest.fixture()
+def sim(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    snap = make_diatomic_system(15, box_L=22.0, temperature_K=100.0, seed=31)
+    snap = add_cavity_particle(
+        snap, coupling=1e-3, freq_cm1=2000.0, temperature_K=100.0, seed=32
+    )
+    ff = ForceField.create(
+        snap, coupling=1e-3, pppm_mesh=(16, 16, 16), r_cut=10.0
+    )
+    kT = PC.kT_from_kelvin(100.0)
+    wv = generate_fibonacci_sphere(20) * 1.0
+    s = Simulation(
+        snap, ff,
+        methods=[
+            MethodSpec(kind="bussi", group="molecular", kT=kT,
+                       tau=PC.ps_to_atomic_units(5.0)),
+            MethodSpec(kind="langevin", group="cavity", kT=kT,
+                       gamma=PC.gamma_from_tau_ps(5.0)),
+        ],
+        dt=PC.fs_to_atomic_units(0.5),
+        seed=7,
+        chunk_size=100,
+        extra_obs=make_extra_obs(dipole=True, wavevectors=wv),
+    )
+    s.thermalize(kT)
+    return s
+
+
+def test_fibonacci_sphere_uniform():
+    pts = generate_fibonacci_sphere(64)
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=1), 1.0, atol=1e-12)
+    # roughly isotropic: mean close to zero
+    assert np.abs(pts.mean(axis=0)).max() < 0.05
+
+
+def test_density_field_matches_loop():
+    snap = make_diatomic_system(5, box_L=18.0, seed=3)
+    wv = generate_fibonacci_sphere(7) * 1.3
+    rho = np.asarray(compute_density_field(snap.position, jnp.asarray(wv)))
+    pos = np.asarray(snap.position)
+    for i, k in enumerate(wv):
+        expect = np.sum(np.exp(1j * pos @ k))
+        assert rho[i] == pytest.approx(expect, rel=1e-10)
+
+
+def test_dipole_observable():
+    snap = make_diatomic_system(5, box_L=18.0, seed=3)
+    d = np.asarray(
+        compute_total_dipole_moment(
+            snap.position, snap.image, snap.box_L, snap.charge
+        )
+    )
+    unwrapped = np.asarray(snap.position) + np.asarray(snap.image) * np.asarray(snap.box_L)
+    np.testing.assert_allclose(d, np.asarray(snap.charge) @ unwrapped, atol=1e-12)
+
+
+def test_simulation_with_trackers(sim):
+    n_dof = 3 * (sim.snapshot.N - 1)
+    et = EnergyTracker(output_prefix="prod-1", output_period_steps=10,
+                       n_molecular_dof=n_dof)
+    cm = CavityModeTracker(output_prefix="prod-1", output_period_steps=10)
+    da = DipoleAutocorrelation(output_period_steps=10)
+    fkt = FieldAutocorrelationTracker(
+        output_prefix="prod-1", output_period_steps=10,
+        reference_interval_ps=0.002, max_references=3,
+    )
+    elapsed = ElapsedTimeTracker(runtime_ps=1.0)
+    perf = PerformanceTracker(runtime_ps=1.0)
+    sim.trackers += [et, cm, da, fkt, elapsed, perf]
+    sim.run(n_steps=300)
+
+    # energy tracker file: reference column format
+    lines = open("prod-1_energy_tracker.txt").read().splitlines()
+    header = [l for l in lines if l.startswith("time(ps)")][0]
+    assert "universe_total_energy" in header
+    data_lines = [l for l in lines if not l.startswith("#") and not l.startswith("time")]
+    assert len(data_lines) >= 25
+    ncols = len(header.split())
+    assert all(len(l.split()) == ncols for l in data_lines)
+    # universe column approx constant
+    uni_idx = header.split().index("universe_total_energy")
+    uni = np.array([float(l.split()[uni_idx]) for l in data_lines])
+    assert np.abs(uni - uni[0]).max() < 1e-3
+
+    # cavity mode file
+    assert os.path.exists("prod-1_cavity_mode.txt")
+    cm_lines = [l for l in open("prod-1_cavity_mode.txt") if not l.startswith("#")]
+    assert len(cm_lines) >= 25
+
+    # dipole autocorr: C(0) = |d0|^2 > 0 written in header line
+    assert os.path.exists("dipole_autocorr_0.txt")
+
+    # F(k,t): multiple reference files due to tiny interval
+    refs = [f for f in os.listdir(".") if f.startswith("prod-1_ref")]
+    assert len(refs) >= 2
+    r0 = [l for l in open("prod-1_ref0.txt") if not l.startswith("#")]
+    assert len(r0) >= 25
+
+    # elapsed/performance trackers updated
+    assert elapsed.elapsed_time > 0
+    assert perf.steps_done == 300
+
+
+def test_runtime_termination(sim):
+    elapsed = ElapsedTimeTracker(runtime_ps=0.01)
+    sim.trackers.append(elapsed)
+    sim.run(runtime_ps=0.01)
+    assert sim.elapsed_ps >= 0.01
+    # chunked termination: overshoot bounded by one chunk
+    assert sim.timestep <= 100 * (int(0.01 / (sim.elapsed_ps / sim.timestep) / 100) + 1)
+
+
+def test_gsd_roundtrip(tmp_path):
+    snap = make_diatomic_system(12, box_L=20.0, temperature_K=50.0, seed=5)
+    snap = add_cavity_particle(
+        snap, coupling=1e-3, freq_cm1=2000.0, temperature_K=50.0, seed=6
+    )
+    path = str(tmp_path / "test.gsd")
+    with HOOMDTrajectory(path, "w") as t:
+        t.append(snap, step=0, dtype=np.float64)
+        snap2 = snap.replace(position=snap.position + 0.5)
+        t.append(snap2, step=10, dtype=np.float64)
+
+    with open_gsd(path) as t:
+        assert len(t) == 2
+        r0 = t[0]
+        r1 = t[1]
+        rneg = t[-1]
+    np.testing.assert_allclose(np.asarray(r0.position), np.asarray(snap.position), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r1.position), np.asarray(snap2.position), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rneg.position), np.asarray(r1.position))
+    assert r0.types == snap.types
+    assert r0.bond_types == snap.bond_types
+    np.testing.assert_array_equal(np.asarray(r0.bond_group), np.asarray(snap.bond_group))
+    np.testing.assert_array_equal(np.asarray(r0.typeid), np.asarray(snap.typeid))
+    np.testing.assert_allclose(np.asarray(r0.mass), np.asarray(snap.mass), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r0.charge), np.asarray(snap.charge), atol=1e-7)
+
+
+def test_gsd_append_mode(tmp_path):
+    snap = make_diatomic_system(5, box_L=18.0, seed=1)
+    path = str(tmp_path / "a.gsd")
+    with HOOMDTrajectory(path, "w") as t:
+        t.append(snap, step=0)
+    with HOOMDTrajectory(path, "a") as t:
+        t.append(snap.replace(position=snap.position + 1.0), step=5)
+    with open_gsd(path) as t:
+        assert len(t) == 2
+        # frame-0 inheritance means static chunks still resolve
+        assert t[1].types == snap.types
+
+
+def test_gsd_writer_in_simulation(sim, tmp_path):
+    w = GSDWriter(str(tmp_path / "traj.gsd"), output_period_ps=0.001)
+    sim.writers.append(w)
+    sim.run(n_steps=200)
+    w.close()
+    with open_gsd(str(tmp_path / "traj.gsd")) as t:
+        assert len(t) >= 2
+        frame = t[-1]
+        assert frame.N == sim.snapshot.N
+
+
+def test_table_writer(sim, capsys):
+    perf = PerformanceTracker(runtime_ps=1.0)
+    sim.trackers.append(perf)
+    sim.writers.append(TableWriter(perf, output_period_ps=0.0005))
+    sim.run(n_steps=100)
+    out = capsys.readouterr().out
+    assert "timestep" in out and "ns_per_day" in out
+    assert len(out.strip().splitlines()) >= 2
