@@ -68,14 +68,16 @@ def ewald_real_space(
     dr = minimum_image(position[:, None, :] - position[None, :, :], box_L)
     r2 = jnp.sum(dr * dr, axis=-1)
 
+    qq = charge[:, None] * charge[None, :]
     eye = jnp.eye(n, dtype=bool)
-    active = (~eye) & (r2 < r_cut * r_cut)
+    # qq == 0 pairs contribute nothing; masking them also keeps coincident
+    # chargeless ghost particles (mesh padding) from producing 0 * inf NaNs
+    active = (~eye) & (r2 < r_cut * r_cut) & (qq != 0)
     if exclusion_mask is not None:
         active = active & (~exclusion_mask)
 
     r2_safe = jnp.where(active, r2, jnp.ones((), dtype))
     r = jnp.sqrt(r2_safe)
-    qq = charge[:, None] * charge[None, :]
 
     erfc_term = erfc(kappa * r)
     e_pair = jnp.where(active, qq * erfc_term / r, jnp.zeros((), dtype))
