@@ -24,10 +24,15 @@ from cavmd_tpu.ops.cavity import CavityParams, cavity_force
 from cavmd_tpu.ops.ewald import (
     auto_kappa,
     ewald_exclusion_correction,
-    ewald_real_space,
+    ewald_real_space_pair,
     ewald_self_energy,
 )
-from cavmd_tpu.ops.lj import bond_exclusion_mask, lj_dense, lj_pair_tables
+from cavmd_tpu.ops.lj import (
+    LJPairMatrices,
+    bond_exclusion_mask,
+    lj_dense_pair,
+    lj_pair_tables,
+)
 from cavmd_tpu.ops.pppm import PPPMParams, pppm_reciprocal_energy
 
 
@@ -38,14 +43,14 @@ class ForceField:
     # bonds
     bond_k: jnp.ndarray  # (n_bond_types,)
     bond_r0: jnp.ndarray
-    # LJ
-    lj_eps: jnp.ndarray  # (T,T)
-    lj_sigma: jnp.ndarray
-    lj_rcut: jnp.ndarray
+    # LJ — precomputed per-pair matrices (zero gathers in the hot path)
+    lj_pair: LJPairMatrices
     excl_mask: jnp.ndarray  # (N,N) bool — bonded-pair exclusions (dense path)
     # cavity
     cavity: CavityParams
-    # electrostatics
+    # electrostatics — precomputed charge products + static active mask
+    qq_pair: jnp.ndarray  # (N,N)
+    coulomb_active: jnp.ndarray  # (N,N) bool
     kappa: jnp.ndarray
     pppm: PPPMParams
     # static
@@ -86,17 +91,14 @@ class ForceField:
             energies["harmonic"] = e
 
         if self.enable_lj:
-            f, e = lj_dense(
-                position, box_L, typeid,
-                self.lj_eps, self.lj_sigma, self.lj_rcut, self.excl_mask,
-            )
+            f, e = lj_dense_pair(position, box_L, self.lj_pair)
             forces = forces + f
             energies["lj"] = e
 
         if self.enable_coulomb:
-            f, e = ewald_real_space(
-                position, box_L, charge, self.kappa, self.coulomb_rcut,
-                self.excl_mask,
+            f, e = ewald_real_space_pair(
+                position, box_L, self.qq_pair, self.coulomb_active,
+                self.kappa, self.coulomb_rcut,
             )
             forces = forces + f
             energies["ewald_short"] = e
@@ -166,6 +168,13 @@ class ForceField:
             dtype=dtype,
         )
         excl = bond_exclusion_mask(snapshot.N, snapshot.bond_group)
+        lj_pair = LJPairMatrices.create(snapshot.typeid, eps, sig, rcut_t, excl)
+
+        charge_np = np.asarray(snapshot.charge)
+        qq = charge_np[:, None] * charge_np[None, :]
+        coulomb_active = (
+            (~np.eye(snapshot.N, dtype=bool)) & (qq != 0) & ~np.asarray(excl)
+        )
 
         kappa_val = kappa if kappa is not None else auto_kappa(r_cut, ewald_accuracy)
         pppm, order = PPPMParams.create(
@@ -181,11 +190,11 @@ class ForceField:
         return ForceField(
             bond_k=bond_k,
             bond_r0=bond_r0,
-            lj_eps=eps,
-            lj_sigma=sig,
-            lj_rcut=rcut_t,
+            lj_pair=lj_pair,
             excl_mask=excl,
             cavity=cav,
+            qq_pair=jnp.asarray(qq, dtype),
+            coulomb_active=jnp.asarray(coulomb_active),
             kappa=jnp.asarray(kappa_val, dtype),
             pppm=pppm,
             l_typeid=l_typeid,
@@ -202,8 +211,8 @@ class ForceField:
 jax.tree_util.register_dataclass(
     ForceField,
     data_fields=[
-        "bond_k", "bond_r0", "lj_eps", "lj_sigma", "lj_rcut", "excl_mask",
-        "cavity", "kappa", "pppm",
+        "bond_k", "bond_r0", "lj_pair", "excl_mask",
+        "cavity", "qq_pair", "coulomb_active", "kappa", "pppm",
     ],
     meta_fields=[
         "l_typeid", "coulomb_rcut", "pppm_order", "pppm_mesh",

@@ -70,6 +70,7 @@ class MethodSpec(NamedTuple):
     tau: float = 0.0  # thermostat time constant, a.u. (bussi/mttk/berendsen)
     gamma: float = 0.0  # friction, 1/a.u. (langevin)
     dof: float = 0.0  # translational DOF of the group (filled by build)
+    indices: tuple | None = None  # static member indices for small groups
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,12 +144,16 @@ def resolve_methods(
     out = []
     for m in methods:
         if m.group == "molecular":
-            n = int(np.sum(typeid != l_typeid))
+            members = np.where(typeid != l_typeid)[0]
         elif m.group == "cavity":
-            n = int(np.sum(typeid == l_typeid))
+            members = np.where(typeid == l_typeid)[0]
         else:
-            n = len(typeid)
-        out.append(m._replace(dof=3.0 * n))
+            members = np.arange(len(typeid))
+        n = len(members)
+        # keep static member indices for small groups so stochastic kicks
+        # sample only those rows (the cavity bath touches one particle)
+        indices = tuple(int(i) for i in members) if n <= 8 else None
+        out.append(m._replace(dof=3.0 * n, indices=indices))
     return tuple(out)
 
 
@@ -269,7 +274,7 @@ def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None
                 key = stream_key(state.key, STREAM_LANGEVIN, state.timestep, i)
                 v, dres = langevin_ou_apply(
                     v, state.mass, mask, jnp.asarray(m.gamma, dtype),
-                    jnp.asarray(m.kT, dtype), dt, key,
+                    jnp.asarray(m.kT, dtype), dt, key, indices=m.indices,
                 )
                 langevin_res = langevin_res.at[slot].add(dres)
 

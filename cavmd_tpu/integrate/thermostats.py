@@ -67,7 +67,18 @@ def bussi_rescale_factor(K, dof: float, dt, tau, kT, key, *, sign_correction=Tru
     k1, k2 = jax.random.split(key)
     r1 = jax.random.normal(k1, dtype=dtype)
     if dof > 1.0:
-        r_gamma = 2.0 * jax.random.gamma(k2, (dof - 1.0) / 2.0, dtype=dtype)
+        alpha_g = (dof - 1.0) / 2.0
+        if alpha_g > 30.0:
+            # Wilson-Hilferty: Gamma(a) ~ a (1 - 1/(9a) + xi/sqrt(9a))^3.
+            # Relative moment error is O(1/a^2) — negligible for a > 30 —
+            # and it avoids jax.random.gamma's rejection while_loop, which
+            # costs ~55 us/step on TPU (measured v5e).
+            xi = jax.random.normal(k2, dtype=dtype)
+            cube = 1.0 - 1.0 / (9.0 * alpha_g) + xi / jnp.sqrt(9.0 * alpha_g)
+            g = alpha_g * jnp.maximum(cube, 0.0) ** 3
+        else:
+            g = jax.random.gamma(k2, alpha_g, dtype=dtype)
+        r_gamma = 2.0 * g
     else:
         r_gamma = jnp.zeros((), dtype)
 
@@ -101,19 +112,29 @@ def bussi_apply(velocity, mass, mask, dof: float, dt, tau, kT, key, *, sign_corr
     return new_v, delta_res
 
 
-def langevin_ou_apply(velocity, mass, mask, gamma, kT, dt, key):
+def langevin_ou_apply(velocity, mass, mask, gamma, kT, dt, key, indices=None):
     """Exact OU (BAOAB "O") step: v' = c v + sqrt((1-c^2) kT/m) xi.
 
     Returns (new_velocity, reservoir_delta) with
     reservoir_delta = KE_before - KE_after (exact tally; parity role:
     HOOMD Langevin ``tally_reservoir_energy``).
+
+    ``indices``: optional static tuple of the group's particle indices —
+    for small groups (the single-photon cavity bath) noise is sampled only
+    for those rows instead of the full (N,3) array.
     """
     dtype = velocity.dtype
     c = jnp.exp(-gamma * dt)
-    sigma = jnp.sqrt((1.0 - c * c) * kT / mass)[:, None]
-    noise = jax.random.normal(key, velocity.shape, dtype=dtype)
-    new_v_all = c * velocity + sigma * noise
-    new_v = jnp.where(mask[:, None], new_v_all, velocity)
+    if indices is not None:
+        idx = jnp.asarray(indices, jnp.int32)
+        sigma = jnp.sqrt((1.0 - c * c) * kT / mass[idx])[:, None]
+        noise = jax.random.normal(key, (len(indices), 3), dtype=dtype)
+        new_rows = c * velocity[idx] + sigma * noise
+        new_v = velocity.at[idx].set(new_rows)
+    else:
+        sigma = jnp.sqrt((1.0 - c * c) * kT / mass)[:, None]
+        noise = jax.random.normal(key, velocity.shape, dtype=dtype)
+        new_v = jnp.where(mask[:, None], c * velocity + sigma * noise, velocity)
     ke_before = kinetic_energy(velocity, mass, mask)
     ke_after = kinetic_energy(new_v, mass, mask)
     return new_v, ke_before - ke_after

@@ -99,6 +99,37 @@ def ewald_real_space(
     return forces, energy
 
 
+def ewald_real_space_pair(position, box_L, qq, active_static, kappa, r_cut):
+    """Real-space Ewald with precomputed (N,N) charge products and a static
+    active mask — the zero-gather hot path (see LJPairMatrices note)."""
+    dtype = position.dtype
+    kappa = jnp.asarray(kappa, dtype)
+
+    dr = minimum_image(position[:, None, :] - position[None, :, :], box_L)
+    r2 = jnp.sum(dr * dr, axis=-1)
+    active = active_static & (r2 < r_cut * r_cut)
+
+    r2_safe = jnp.where(active, r2, jnp.ones((), dtype))
+    r = jnp.sqrt(r2_safe)
+    erfc_term = erfc(kappa * r)
+    zero = jnp.zeros((), dtype)
+    energy = 0.5 * jnp.sum(jnp.where(active, qq * erfc_term / r, zero))
+
+    two_over_sqrt_pi = jnp.asarray(2.0 / math.sqrt(math.pi), dtype)
+    fmag = jnp.where(
+        active,
+        qq
+        * (
+            erfc_term / r2_safe
+            + kappa * two_over_sqrt_pi * jnp.exp(-(kappa * r) ** 2) / r
+        )
+        / r,
+        zero,
+    )
+    forces = jnp.sum(fmag[:, :, None] * dr, axis=1)
+    return forces, energy
+
+
 def ewald_self_energy(charge, kappa):
     """Self-interaction correction kappa/sqrt(pi) * sum q_i^2 (subtracted)."""
     dtype = charge.dtype

@@ -21,6 +21,7 @@ Energy convention: ``V(r) = 4 eps [(s/r)^12 - (s/r)^6] - V(r_cut)`` for
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cavmd_tpu.core.box import minimum_image
@@ -113,6 +114,82 @@ def lj_dense(
     # F_i = sum_j 24 eps (2 s12 - s6) / r^2 * dr_ij  (dr = r_i - r_j)
     fscalar = jnp.where(
         active, 24.0 * eps * (2.0 * s12 - s6) / r2_safe, jnp.zeros((), dtype)
+    )
+    forces = jnp.sum(fscalar[:, :, None] * dr, axis=1)
+    return forces, energy
+
+
+class LJPairMatrices:
+    """Precomputed per-pair (N,N) parameter matrices for the dense path.
+
+    TPU-native design note: indexing (T,T) tables with a typeid outer
+    product (``eps[typeid[:,None], typeid[None,:]]``) lowers to N^2
+    serialized scalar gathers on TPU (~2.6 ms/step at N=501, measured).
+    Type ids never change during a run, so every per-pair coefficient —
+    epsilon, sigma^2, r_cut^2, the cutoff energy shift, and the static
+    active mask (type pair enabled, not excluded, not self) — is
+    precomputed once at setup. The hot path is then pure elementwise VPU
+    work with zero gathers. Memory: 5 * N^2 * 4 B (5 MB at N=501); the
+    cell-list path covers large N.
+    """
+
+    def __init__(self, eps, sig2, rcut2, vshift, active):
+        self.eps = eps
+        self.sig2 = sig2
+        self.rcut2 = rcut2
+        self.vshift = vshift
+        self.active = active
+
+    @staticmethod
+    def create(typeid, eps_table, sigma_table, rcut_table, exclusion_mask=None):
+        import numpy as np
+
+        tid = np.asarray(typeid)
+        n = len(tid)
+        eps = np.asarray(eps_table)[tid[:, None], tid[None, :]]
+        sig = np.asarray(sigma_table)[tid[:, None], tid[None, :]]
+        rc = np.asarray(rcut_table)[tid[:, None], tid[None, :]]
+        rc_safe = np.where(rc > 0, rc, 1.0)
+        src6 = (sig / rc_safe) ** 6
+        vshift = 4.0 * eps * (src6 * src6 - src6)
+        active = (~np.eye(n, dtype=bool)) & (eps != 0) & (rc > 0)
+        if exclusion_mask is not None:
+            active &= ~np.asarray(exclusion_mask)
+        dtype = eps_table.dtype
+        return LJPairMatrices(
+            eps=jnp.asarray(eps, dtype),
+            sig2=jnp.asarray(sig * sig, dtype),
+            rcut2=jnp.asarray(rc * rc, dtype),
+            vshift=jnp.asarray(vshift, dtype),
+            active=jnp.asarray(active),
+        )
+
+
+jax.tree_util.register_pytree_node(
+    LJPairMatrices,
+    lambda m: ((m.eps, m.sig2, m.rcut2, m.vshift, m.active), None),
+    lambda _, c: LJPairMatrices(*c),
+)
+
+
+def lj_dense_pair(position, box_L, pair: LJPairMatrices):
+    """All-pairs shifted LJ with precomputed pair matrices (the hot path)."""
+    dtype = position.dtype
+    dr = minimum_image(position[:, None, :] - position[None, :, :], box_L)
+    r2 = jnp.sum(dr * dr, axis=-1)
+
+    active = pair.active & (r2 < pair.rcut2)
+    r2_safe = jnp.where(active, r2, jnp.ones((), dtype))
+    inv_r2 = pair.sig2 / r2_safe
+    s6 = inv_r2 * inv_r2 * inv_r2
+    s12 = s6 * s6
+
+    zero = jnp.zeros((), dtype)
+    v = jnp.where(active, 4.0 * pair.eps * (s12 - s6) - pair.vshift, zero)
+    energy = 0.5 * jnp.sum(v)
+
+    fscalar = jnp.where(
+        active, 24.0 * pair.eps * (2.0 * s12 - s6) / r2_safe, zero
     )
     forces = jnp.sum(fscalar[:, :, None] * dr, axis=1)
     return forces, energy

@@ -138,50 +138,57 @@ def bspline_weights(frac, order: int):
     return jnp.stack(w, axis=-1), jnp.stack(w_prev, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("order", "mesh"))
-def pppm_reciprocal_energy(position, charge, box_L, params: PPPMParams, order: int, mesh):
-    """Reciprocal-space mesh energy (differentiable in ``position``).
+def _spread_matrices(position, box_L, order: int, mesh):
+    """Per-dimension spread matrices S_d (N, K_d) with the order-p B-spline
+    weights placed at the wrapped stencil columns.
 
-    Forces come from ``jax.grad`` of this function — exactly conservative
-    by construction. Self-energy / exclusion corrections are separate
-    (:mod:`cavmd_tpu.ops.ewald`).
+    TPU-native design note: naive charge spreading is N * p^3 scatter-adds
+    (~755 us/step at N=501 on v5e, measured) because XLA serializes
+    scatters. B-spline assignment is separable, so the grid is instead the
+    contraction ``grid[x,y,z] = sum_i q_i Sx[i,x] Sy[i,y] Sz[i,z]`` — one
+    (Kx, N) @ (N, Ky*Kz) matmul on the MXU plus cheap one-hot builds.
+    (This mirrors the reference GPU's shared-memory tree reduction pivot —
+    CavityForceComputeGPU.cu:323-377 — but for the mesh assignment.)
     """
     dtype = position.dtype
-    Kx, Ky, Kz = mesh
     Ks = jnp.asarray(mesh, dtype)
     box = jnp.asarray(box_L, dtype)
 
-    # fractional grid coordinates in [0, K)
-    u = (position / box + 0.5) * Ks  # (N,3)
+    u = (position / box + 0.5) * Ks  # (N,3) fractional grid coords in [0,K)
     k0 = jnp.floor(u)
     frac = u - k0
     base = k0.astype(jnp.int32)
 
     w, _ = bspline_weights(frac, order)  # (N,3,p)
-
     j = jnp.arange(order, dtype=jnp.int32)
     idx = (base[:, :, None] - j[None, None, :]) % jnp.asarray(
-        [Kx, Ky, Kz], jnp.int32
+        mesh, jnp.int32
     )[None, :, None]  # (N,3,p)
 
-    # combined weights and flat indices over the p^3 stencil
-    wx, wy, wz = w[:, 0], w[:, 1], w[:, 2]  # (N,p)
-    ix, iy, iz = idx[:, 0], idx[:, 1], idx[:, 2]  # (N,p)
+    mats = []
+    for d, K in enumerate(mesh):
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+        onehot = (idx[:, d, :, None] == cols).astype(dtype)  # (N,p,K)
+        mats.append(jnp.einsum("njk,nj->nk", onehot, w[:, d]))  # (N,K)
+    return mats
 
-    w3 = (
-        charge[:, None, None, None]
-        * wx[:, :, None, None]
-        * wy[:, None, :, None]
-        * wz[:, None, None, :]
-    )  # (N,p,p,p)
-    flat = (
-        (ix[:, :, None, None] * Ky + iy[:, None, :, None]) * Kz
-        + iz[:, None, None, :]
-    )  # (N,p,p,p)
 
-    grid = jnp.zeros((Kx * Ky * Kz,), dtype)
-    grid = grid.at[flat.reshape(-1)].add(w3.reshape(-1))
-    grid = grid.reshape(Kx, Ky, Kz)
+@partial(jax.jit, static_argnames=("order", "mesh"))
+def pppm_reciprocal_energy(position, charge, box_L, params: PPPMParams, order: int, mesh):
+    """Reciprocal-space mesh energy (differentiable in ``position``).
+
+    Forces come from ``jax.grad`` of this function — exactly conservative
+    by construction (the autodiff transpose of the matmul contraction is
+    itself a matmul: the force-interpolation gather). Self-energy /
+    exclusion corrections are separate (:mod:`cavmd_tpu.ops.ewald`).
+    """
+    dtype = position.dtype
+    Kx, Ky, Kz = mesh
+
+    Sx, Sy, Sz = _spread_matrices(position, box_L, order, mesh)
+    A = charge[:, None] * Sx  # (N,Kx)
+    B = (Sy[:, :, None] * Sz[:, None, :]).reshape(-1, Ky * Kz)  # (N,Ky*Kz)
+    grid = jnp.dot(A.T, B, preferred_element_type=dtype).reshape(Kx, Ky, Kz)
 
     fhat = jnp.fft.fftn(grid)
     pref = 1.0 / (2.0 * jnp.pi * params.volume)
