@@ -33,6 +33,16 @@ from cavmd_tpu.ops.lj import (
     lj_dense_pair,
     lj_pair_tables,
 )
+from cavmd_tpu.ops.neighbor import (
+    build_cell_list,
+    cell_pair_force,
+    exclusion_table,
+    make_ewald_cell_kernel,
+    make_lj_cell_kernel,
+    make_particle_features,
+    neighbor_cell_table,
+    plan_cells,
+)
 from cavmd_tpu.ops.pppm import PPPMParams, pppm_reciprocal_energy
 
 
@@ -53,6 +63,13 @@ class ForceField:
     coulomb_active: jnp.ndarray  # (N,N) bool
     kappa: jnp.ndarray
     pppm: PPPMParams
+    # cell-list backend data (None-shaped placeholders in dense mode)
+    lj_eps: jnp.ndarray = None  # (T,T) type tables for the cell kernels
+    lj_sigma: jnp.ndarray = None
+    lj_rcut: jnp.ndarray = None
+    cell_features: jnp.ndarray = None  # (N+1, T+1)
+    cell_exclusions: jnp.ndarray = None  # (N+1, max_excl) int32
+    cell_neighbors: jnp.ndarray = None  # (C, 27) int32
     # static
     l_typeid: int = 2
     coulomb_rcut: float = 15.0
@@ -62,6 +79,9 @@ class ForceField:
     enable_coulomb: bool = True
     enable_lj: bool = True
     enable_bonds: bool = True
+    pair_mode: str = "dense"  # 'dense' (all-pairs) | 'cell' (large N)
+    cell_cfg: tuple = None  # CellListConfig when pair_mode == 'cell'
+    n_types: int = 0
 
     def compute(self, position, image, box_L, charge, typeid, bond_group, bond_typeid):
         """Total forces + component energies in one fused evaluation.
@@ -90,18 +110,46 @@ class ForceField:
             forces = forces + f
             energies["harmonic"] = e
 
-        if self.enable_lj:
-            f, e = lj_dense_pair(position, box_L, self.lj_pair)
-            forces = forces + f
-            energies["lj"] = e
+        if self.pair_mode == "cell" and (self.enable_lj or self.enable_coulomb):
+            from cavmd_tpu.ops.neighbor import CellListConfig
+
+            cfg = CellListConfig(*self.cell_cfg)
+            clist = build_cell_list(position, box_L, cfg, self.cell_neighbors)
+            if self.enable_lj:
+                kern = make_lj_cell_kernel(
+                    self.lj_eps, self.lj_sigma, self.lj_rcut, self.n_types
+                )
+                f, e = cell_pair_force(
+                    position, box_L, clist, cfg, kern,
+                    features=self.cell_features,
+                    exclusions=self.cell_exclusions,
+                )
+                forces = forces + f
+                energies["lj"] = e
+            if self.enable_coulomb:
+                kern = make_ewald_cell_kernel(self.kappa, self.n_types)
+                f, e = cell_pair_force(
+                    position, box_L, clist, cfg, kern,
+                    features=self.cell_features,
+                    exclusions=self.cell_exclusions,
+                )
+                forces = forces + f
+                energies["ewald_short"] = e
+        else:
+            if self.enable_lj:
+                f, e = lj_dense_pair(position, box_L, self.lj_pair)
+                forces = forces + f
+                energies["lj"] = e
+
+            if self.enable_coulomb:
+                f, e = ewald_real_space_pair(
+                    position, box_L, self.qq_pair, self.coulomb_active,
+                    self.kappa, self.coulomb_rcut,
+                )
+                forces = forces + f
+                energies["ewald_short"] = e
 
         if self.enable_coulomb:
-            f, e = ewald_real_space_pair(
-                position, box_L, self.qq_pair, self.coulomb_active,
-                self.kappa, self.coulomb_rcut,
-            )
-            forces = forces + f
-            energies["ewald_short"] = e
 
             e_rec, grad = jax.value_and_grad(pppm_reciprocal_energy)(
                 position, charge, box_L, self.pppm, self.pppm_order, self.pppm_mesh
@@ -142,6 +190,9 @@ class ForceField:
         pppm_order: int = 6,
         kappa: float | None = None,
         ewald_accuracy: float = 1e-6,
+        pair_mode: str | None = None,
+        cell_skin: float = 1.5,
+        cell_cap: int | None = None,
         dtype=None,
     ) -> "ForceField":
         """Build the reference workflow's force mix for a snapshot.
@@ -167,14 +218,46 @@ class ForceField:
             {k: dict(**v, r_cut=v.get("r_cut", r_cut)) for k, v in lj_params.items()},
             dtype=dtype,
         )
-        excl = bond_exclusion_mask(snapshot.N, snapshot.bond_group)
-        lj_pair = LJPairMatrices.create(snapshot.typeid, eps, sig, rcut_t, excl)
+        # pick the pair backend: dense all-pairs is faster below a few
+        # thousand particles; the cell path avoids O(N^2) memory above
+        if pair_mode is None:
+            pair_mode = "dense" if snapshot.N <= 4096 else "cell"
 
-        charge_np = np.asarray(snapshot.charge)
-        qq = charge_np[:, None] * charge_np[None, :]
-        coulomb_active = (
-            (~np.eye(snapshot.N, dtype=bool)) & (qq != 0) & ~np.asarray(excl)
+        lj_pair = excl = qq_jnp = coulomb_active_jnp = None
+        cell_fields = dict(
+            lj_eps=eps, lj_sigma=sig, lj_rcut=rcut_t,
+            cell_features=None, cell_exclusions=None, cell_neighbors=None,
         )
+        cell_cfg_tuple = None
+        if pair_mode == "dense":
+            excl = bond_exclusion_mask(snapshot.N, snapshot.bond_group)
+            lj_pair = LJPairMatrices.create(
+                snapshot.typeid, eps, sig, rcut_t, excl
+            )
+            charge_np = np.asarray(snapshot.charge)
+            qq = charge_np[:, None] * charge_np[None, :]
+            coulomb_active = (
+                (~np.eye(snapshot.N, dtype=bool)) & (qq != 0) & ~np.asarray(excl)
+            )
+            qq_jnp = jnp.asarray(qq, dtype)
+            coulomb_active_jnp = jnp.asarray(coulomb_active)
+        else:
+            cfg = plan_cells(
+                np.asarray(snapshot.box_L), r_cut, skin=cell_skin,
+                n=snapshot.N, cap=cell_cap,
+            )
+            cell_cfg_tuple = tuple(cfg)
+            cell_fields.update(
+                cell_features=make_particle_features(
+                    snapshot.typeid, snapshot.charge, len(types)
+                ),
+                cell_exclusions=jnp.asarray(
+                    exclusion_table(snapshot.N, snapshot.bond_group)
+                ),
+                cell_neighbors=jnp.asarray(
+                    neighbor_cell_table(cfg.ncells), jnp.int32
+                ),
+            )
 
         kappa_val = kappa if kappa is not None else auto_kappa(r_cut, ewald_accuracy)
         pppm, order = PPPMParams.create(
@@ -193,10 +276,11 @@ class ForceField:
             lj_pair=lj_pair,
             excl_mask=excl,
             cavity=cav,
-            qq_pair=jnp.asarray(qq, dtype),
-            coulomb_active=jnp.asarray(coulomb_active),
+            qq_pair=qq_jnp,
+            coulomb_active=coulomb_active_jnp,
             kappa=jnp.asarray(kappa_val, dtype),
             pppm=pppm,
+            **cell_fields,
             l_typeid=l_typeid,
             coulomb_rcut=r_cut,
             pppm_order=order,
@@ -205,6 +289,9 @@ class ForceField:
             enable_coulomb=enable_coulomb,
             enable_lj=enable_lj,
             enable_bonds=enable_bonds,
+            pair_mode=pair_mode,
+            cell_cfg=cell_cfg_tuple,
+            n_types=len(types),
         )
 
 
@@ -213,9 +300,12 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "bond_k", "bond_r0", "lj_pair", "excl_mask",
         "cavity", "qq_pair", "coulomb_active", "kappa", "pppm",
+        "lj_eps", "lj_sigma", "lj_rcut",
+        "cell_features", "cell_exclusions", "cell_neighbors",
     ],
     meta_fields=[
         "l_typeid", "coulomb_rcut", "pppm_order", "pppm_mesh",
         "enable_cavity", "enable_coulomb", "enable_lj", "enable_bonds",
+        "pair_mode", "cell_cfg", "n_types",
     ],
 )

@@ -1,0 +1,137 @@
+"""Cell-list neighbor path: must match the dense all-pairs path exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cavmd_tpu.core import make_diatomic_system
+from cavmd_tpu.core.system import LJ_PARAMS
+from cavmd_tpu.ops.lj import (
+    bond_exclusion_mask,
+    lj_dense,
+    lj_pair_tables,
+)
+from cavmd_tpu.ops.ewald import ewald_real_space
+from cavmd_tpu.ops.neighbor import (
+    build_cell_list,
+    cell_pair_force,
+    exclusion_table,
+    make_ewald_cell_kernel,
+    make_lj_cell_kernel,
+    make_particle_features,
+    neighbor_cell_table,
+    plan_cells,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    snap = make_diatomic_system(120, box_L=60.0, seed=77)
+    r_cut = 12.0
+    cfg = plan_cells(snap.box_L, r_cut, skin=2.0, n=snap.N)
+    assert min(cfg.ncells) >= 3, cfg
+    nct = neighbor_cell_table(cfg.ncells)
+    clist = build_cell_list(snap.position, snap.box_L, cfg, nct)
+    assert not bool(clist.overflow)
+    return snap, r_cut, cfg, clist
+
+
+def test_bucket_partition(setup):
+    """Every particle appears in exactly one bucket slot."""
+    snap, r_cut, cfg, clist = setup
+    ids = np.asarray(clist.bucket_idx).ravel()
+    real = ids[ids < snap.N]
+    assert len(real) == snap.N
+    assert len(np.unique(real)) == snap.N
+
+
+def test_lj_cell_matches_dense(setup):
+    snap, r_cut, cfg, clist = setup
+    eps, sig, rcut_t = lj_pair_tables(
+        list(snap.types), {k: dict(**v, r_cut=r_cut) for k, v in LJ_PARAMS.items()}
+    )
+    excl_dense = bond_exclusion_mask(snap.N, snap.bond_group)
+    f_ref, e_ref = lj_dense(
+        snap.position, snap.box_L, snap.typeid, eps, sig, rcut_t, excl_dense
+    )
+
+    feats = make_particle_features(snap.typeid, snap.charge, len(snap.types))
+    kern = make_lj_cell_kernel(eps, sig, rcut_t, len(snap.types))
+    excl = jnp.asarray(exclusion_table(snap.N, snap.bond_group))
+    f, e = cell_pair_force(
+        snap.position, snap.box_L, clist, cfg, kern,
+        features=feats, exclusions=excl,
+    )
+    assert float(e) == pytest.approx(float(e_ref), rel=1e-10, abs=1e-14)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=1e-11)
+
+
+def test_ewald_cell_matches_dense(setup):
+    snap, r_cut, cfg, clist = setup
+    kappa = 0.3
+    excl_dense = bond_exclusion_mask(snap.N, snap.bond_group)
+    f_ref, e_ref = ewald_real_space(
+        snap.position, snap.box_L, snap.charge, kappa, r_cut, excl_dense
+    )
+    feats = make_particle_features(snap.typeid, snap.charge, len(snap.types))
+    kern = make_ewald_cell_kernel(kappa, len(snap.types))
+    excl = jnp.asarray(exclusion_table(snap.N, snap.bond_group))
+    f, e = cell_pair_force(
+        snap.position, snap.box_L, clist, cfg, kern,
+        features=feats, exclusions=excl,
+    )
+    assert float(e) == pytest.approx(float(e_ref), rel=1e-10)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=1e-11)
+
+
+def test_overflow_detection():
+    """Cramming many particles into one cell must raise the overflow flag."""
+    pos = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (50, 3)))
+    box = jnp.asarray([40.0, 40.0, 40.0])
+    cfg = plan_cells(box, 10.0, skin=0.0, cap=8)
+    nct = neighbor_cell_table(cfg.ncells)
+    clist = build_cell_list(pos, box, cfg, nct)
+    assert bool(clist.overflow)
+
+
+def test_cell_list_under_jit(setup):
+    """Build + force must compose under jit (shape-static everywhere)."""
+    snap, r_cut, cfg, clist = setup
+    eps, sig, rcut_t = lj_pair_tables(
+        list(snap.types), {k: dict(**v, r_cut=r_cut) for k, v in LJ_PARAMS.items()}
+    )
+    feats = make_particle_features(snap.typeid, snap.charge, len(snap.types))
+    kern = make_lj_cell_kernel(eps, sig, rcut_t, len(snap.types))
+    nct = jnp.asarray(neighbor_cell_table(cfg.ncells))
+
+    @jax.jit
+    def full(pos):
+        cl = build_cell_list(pos, snap.box_L, cfg, nct)
+        f, e = cell_pair_force(pos, snap.box_L, cl, cfg, kern, features=feats)
+        return f, e, cl.overflow
+
+    f, e, ov = full(snap.position)
+    assert not bool(ov)
+    assert np.isfinite(float(e))
+
+
+def test_forcefield_cell_mode_matches_dense():
+    """ForceField(pair_mode='cell') must reproduce dense-mode forces."""
+    from cavmd_tpu.integrate import ForceField
+    from cavmd_tpu.core import add_cavity_particle
+
+    snap = make_diatomic_system(100, box_L=60.0, seed=99)
+    snap = add_cavity_particle(
+        snap, coupling=1e-3, freq_cm1=2000.0, temperature_K=100.0, seed=100
+    )
+    kw = dict(coupling=1e-3, r_cut=12.0, pppm_mesh=(16, 16, 16))
+    ff_dense = ForceField.create(snap, pair_mode="dense", **kw)
+    ff_cell = ForceField.create(snap, pair_mode="cell", **kw)
+    args = (snap.position, snap.image, snap.box_L, snap.charge, snap.typeid,
+            snap.bond_group, snap.bond_typeid)
+    f1, e1 = ff_dense.compute(*args)
+    f2, e2 = ff_cell.compute(*args)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-11)
+    for k in e1:
+        assert float(e1[k]) == pytest.approx(float(e2[k]), rel=1e-10, abs=1e-13)
