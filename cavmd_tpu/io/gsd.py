@@ -219,8 +219,19 @@ class HOOMDTrajectory:
     frame-0 default inheritance for static chunks.
     """
 
-    def __init__(self, path, mode="r"):
-        self.file = GSDFile(path, mode)
+    def __init__(self, path, mode="r", prefer_native=True):
+        self.file = None
+        if mode == "w" and prefer_native:
+            # write path: use the C++ codec when available (same on-disk
+            # format; the Python GSDFile reads files either codec wrote)
+            try:
+                from cavmd_tpu.io.native import NativeGSDWriter
+
+                self.file = NativeGSDWriter(path)
+            except (RuntimeError, OSError):
+                self.file = None
+        if self.file is None:
+            self.file = GSDFile(path, mode)
 
     def __len__(self):
         return self.file.nframes

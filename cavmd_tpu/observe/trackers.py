@@ -120,29 +120,41 @@ class EnergyTracker(BaseTracker):
         else:
             temperature = np.zeros_like(total_kin)
 
-        with open(self.path, "a") as f:
-            for i in rows:
-                if self.max_time_ps is not None and t_ps[i] > self.max_time_ps:
-                    self.output_stopped = True
-                    break
-                vals = [
-                    t_ps[i], int(ts[i]),
-                    e["harmonic"][i], e["lj"][i],
-                    e["ewald_short"][i], e["ewald_long"][i],
-                    e["cavity_harmonic"][i], e["cavity_coupling"][i],
-                    e["cavity_dipole_self"][i], cavity_total[i],
-                    e["kinetic_molecular"][i], e["kinetic_cavity"][i],
-                    total_kin[i], total_pot[i], system_total[i],
-                    mol_res[i], cav_res[i], mol_res[i] + cav_res[i],
-                    universe[i], temperature[i],
-                ]
-                f.write(
+        if self.max_time_ps is not None:
+            kept = [i for i in rows if t_ps[i] <= self.max_time_ps]
+            if len(kept) < len(rows):
+                self.output_stopped = True
+            rows = kept
+        if not rows:
+            return
+        idx = np.asarray(rows)
+        table = np.column_stack([
+            t_ps[idx], ts[idx].astype(float),
+            e["harmonic"][idx], e["lj"][idx],
+            e["ewald_short"][idx], e["ewald_long"][idx],
+            e["cavity_harmonic"][idx], e["cavity_coupling"][idx],
+            e["cavity_dipole_self"][idx], cavity_total[idx],
+            e["kinetic_molecular"][idx], e["kinetic_cavity"][idx],
+            total_kin[idx], total_pot[idx], system_total[idx],
+            mol_res[idx], cav_res[idx], (mol_res + cav_res)[idx],
+            universe[idx], temperature[idx],
+        ])
+        # bulk-format the whole chunk via the native runtime when available
+        from cavmd_tpu.io.native import format_table
+
+        text = format_table(table, decimals=6, int_col=1)
+        if text is None:
+            lines = []
+            for row in table:
+                lines.append(
                     " ".join(
-                        f"{v:.6f}" if isinstance(v, (float, np.floating)) else str(v)
-                        for v in vals
+                        str(int(v)) if j == 1 else f"{v:.6f}"
+                        for j, v in enumerate(row)
                     )
-                    + "\n"
                 )
+            text = "\n".join(lines) + "\n"
+        with open(self.path, "a") as f:
+            f.write(text)
         # retain the last row for logger integration
         i = rows[-1]
         self.current = dict(
