@@ -19,7 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from cavmd_tpu.core.snapshot import Snapshot
-from cavmd_tpu.ops.bonds import harmonic_bond_force
+from cavmd_tpu.ops.bonds import (
+    bond_incidence,
+    harmonic_bond_force,
+    harmonic_bond_force_incidence,
+)
 from cavmd_tpu.ops.cavity import CavityParams, cavity_force
 from cavmd_tpu.ops.ewald import (
     auto_kappa,
@@ -63,6 +67,11 @@ class ForceField:
     coulomb_active: jnp.ndarray  # (N,N) bool
     kappa: jnp.ndarray
     pppm: PPPMParams
+    # bond incidence matmul path (small systems; None -> scatter path)
+    bond_gi: jnp.ndarray = None  # (Nb, N) endpoint selectors
+    bond_gj: jnp.ndarray = None
+    bond_k_per: jnp.ndarray = None  # (Nb,) per-bond parameters
+    bond_r0_per: jnp.ndarray = None
     # cell-list backend data (None-shaped placeholders in dense mode)
     lj_eps: jnp.ndarray = None  # (T,T) type tables for the cell kernels
     lj_sigma: jnp.ndarray = None
@@ -104,9 +113,16 @@ class ForceField:
         }
 
         if self.enable_bonds:
-            f, e = harmonic_bond_force(
-                position, box_L, bond_group, bond_typeid, self.bond_k, self.bond_r0
-            )
+            if self.bond_gi is not None:
+                f, e = harmonic_bond_force_incidence(
+                    position, box_L, self.bond_gi, self.bond_gj,
+                    self.bond_k_per, self.bond_r0_per,
+                )
+            else:
+                f, e = harmonic_bond_force(
+                    position, box_L, bond_group, bond_typeid,
+                    self.bond_k, self.bond_r0,
+                )
             forces = forces + f
             energies["harmonic"] = e
 
@@ -135,6 +151,17 @@ class ForceField:
                 )
                 forces = forces + f
                 energies["ewald_short"] = e
+        elif self.enable_lj and self.enable_coulomb:
+            # fused pass: one shared (N,N) distance computation
+            from cavmd_tpu.ops.lj import fused_pair_force
+
+            f, e_lj, e_ew = fused_pair_force(
+                position, box_L, self.lj_pair, self.qq_pair,
+                self.coulomb_active, self.kappa, self.coulomb_rcut,
+            )
+            forces = forces + f
+            energies["lj"] = e_lj
+            energies["ewald_short"] = e_ew
         else:
             if self.enable_lj:
                 f, e = lj_dense_pair(position, box_L, self.lj_pair)
@@ -212,6 +239,17 @@ class ForceField:
         bond_k = jnp.asarray([bond_params[t]["k"] for t in bond_types], dtype)
         bond_r0 = jnp.asarray([bond_params[t]["r0"] for t in bond_types], dtype)
 
+        # incidence-matmul bond path for small systems (see bonds.py note)
+        nb = snapshot.n_bonds
+        bond_gi = bond_gj = bond_k_per = bond_r0_per = None
+        if 0 < nb * snapshot.N <= 8_000_000:
+            bond_gi, bond_gj = bond_incidence(
+                snapshot.N, snapshot.bond_group, dtype
+            )
+            btid = np.asarray(snapshot.bond_typeid)
+            bond_k_per = jnp.asarray(np.asarray(bond_k)[btid], dtype)
+            bond_r0_per = jnp.asarray(np.asarray(bond_r0)[btid], dtype)
+
         types = list(snapshot.types)
         eps, sig, rcut_t = lj_pair_tables(
             types,
@@ -273,6 +311,10 @@ class ForceField:
         return ForceField(
             bond_k=bond_k,
             bond_r0=bond_r0,
+            bond_gi=bond_gi,
+            bond_gj=bond_gj,
+            bond_k_per=bond_k_per,
+            bond_r0_per=bond_r0_per,
             lj_pair=lj_pair,
             excl_mask=excl,
             cavity=cav,
@@ -298,7 +340,9 @@ class ForceField:
 jax.tree_util.register_dataclass(
     ForceField,
     data_fields=[
-        "bond_k", "bond_r0", "lj_pair", "excl_mask",
+        "bond_k", "bond_r0",
+        "bond_gi", "bond_gj", "bond_k_per", "bond_r0_per",
+        "lj_pair", "excl_mask",
         "cavity", "qq_pair", "coulomb_active", "kappa", "pppm",
         "lj_eps", "lj_sigma", "lj_rcut",
         "cell_features", "cell_exclusions", "cell_neighbors",

@@ -14,6 +14,49 @@ import jax.numpy as jnp
 from cavmd_tpu.core.box import minimum_image
 
 
+def bond_incidence(n, bond_group, dtype):
+    """Static (Nb, N) selector matrices (G_i, G_j) for the bond endpoints.
+
+    TPU-native design note: endpoint gathers + force scatter-adds cost
+    ~30 us/step at Nb=250 on v5e (XLA serializes them); with static
+    topology the same dataflow is four small MXU matmuls:
+    ``r_i = G_i @ pos`` and ``F += G_j^T @ f - G_i^T @ f``. Dense (Nb, N)
+    is fine up to ~10^7 entries; beyond that use the scatter path.
+    """
+    import numpy as np
+
+    nb = len(bond_group)
+    gi = np.zeros((nb, n), dtype=np.float64)
+    gj = np.zeros((nb, n), dtype=np.float64)
+    bg = np.asarray(bond_group)
+    gi[np.arange(nb), bg[:, 0]] = 1.0
+    gj[np.arange(nb), bg[:, 1]] = 1.0
+    return jnp.asarray(gi, dtype), jnp.asarray(gj, dtype)
+
+
+def harmonic_bond_force_incidence(position, box_L, gi, gj, kb, rb):
+    """Harmonic bonds via incidence matmuls (zero gathers/scatters).
+
+    ``kb``/``rb`` are per-bond (Nb,) parameters, pre-expanded from the
+    per-type tables at setup (topology is static).
+    """
+    dtype = position.dtype
+    pos_i = jnp.dot(gi, position, preferred_element_type=dtype)  # (Nb,3)
+    pos_j = jnp.dot(gj, position, preferred_element_type=dtype)
+    dr = minimum_image(pos_j - pos_i, box_L)
+    r = jnp.sqrt(jnp.sum(dr * dr, axis=1))
+
+    safe_r = jnp.where(r > 0, r, jnp.ones((), dtype))
+    fmag = -kb * (r - rb) / safe_r
+    f_j = fmag[:, None] * dr  # force on j
+
+    forces = jnp.dot(gj.T, f_j, preferred_element_type=dtype) - jnp.dot(
+        gi.T, f_j, preferred_element_type=dtype
+    )
+    energy = jnp.sum(0.5 * kb * (r - rb) ** 2)
+    return forces, energy
+
+
 def harmonic_bond_force(position, box_L, bond_group, bond_typeid, k, r0):
     """Harmonic bond forces and total energy.
 

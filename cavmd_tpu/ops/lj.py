@@ -195,6 +195,55 @@ def lj_dense_pair(position, box_L, pair: LJPairMatrices):
     return forces, energy
 
 
+def fused_pair_force(
+    position, box_L, pair: LJPairMatrices, qq, coulomb_active, kappa, coulomb_rcut,
+):
+    """Fused dense LJ + short-range-Ewald pass sharing one distance matrix.
+
+    Computing LJ and erfc-Coulomb separately materializes the (N,N,3)
+    displacement tensor and (N,N) r^2 twice; this single pass halves that
+    HBM traffic — the usual TPU bottleneck. Returns
+    (forces, lj_energy, ewald_short_energy).
+    """
+    import math
+
+    from jax.scipy.special import erfc
+
+    dtype = position.dtype
+    dr = minimum_image(position[:, None, :] - position[None, :, :], box_L)
+    r2 = jnp.sum(dr * dr, axis=-1)
+    zero = jnp.zeros((), dtype)
+
+    # --- LJ ---
+    lj_active = pair.active & (r2 < pair.rcut2)
+    r2_lj = jnp.where(lj_active, r2, jnp.ones((), dtype))
+    inv_r2 = pair.sig2 / r2_lj
+    s6 = inv_r2 * inv_r2 * inv_r2
+    s12 = s6 * s6
+    e_lj = 0.5 * jnp.sum(
+        jnp.where(lj_active, 4.0 * pair.eps * (s12 - s6) - pair.vshift, zero)
+    )
+    f_lj = jnp.where(lj_active, 24.0 * pair.eps * (2.0 * s12 - s6) / r2_lj, zero)
+
+    # --- Ewald short (erfc) ---
+    kappa = jnp.asarray(kappa, dtype)
+    ew_active = coulomb_active & (r2 < coulomb_rcut * coulomb_rcut)
+    r2_ew = jnp.where(ew_active, r2, jnp.ones((), dtype))
+    r = jnp.sqrt(r2_ew)
+    ec = erfc(kappa * r)
+    e_ew = 0.5 * jnp.sum(jnp.where(ew_active, qq * ec / r, zero))
+    two_over_sqrt_pi = jnp.asarray(2.0 / math.sqrt(math.pi), dtype)
+    f_ew = jnp.where(
+        ew_active,
+        qq * (ec / r2_ew + kappa * two_over_sqrt_pi
+              * jnp.exp(-(kappa * r) ** 2) / r) / r,
+        zero,
+    )
+
+    forces = jnp.sum((f_lj + f_ew)[:, :, None] * dr, axis=1)
+    return forces, e_lj, e_ew
+
+
 def bond_exclusion_mask(n, bond_group):
     """Dense (N,N) bool mask of bonded pairs (for the dense pair path)."""
     import numpy as np
