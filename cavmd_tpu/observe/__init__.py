@@ -7,6 +7,11 @@ from cavmd_tpu.observe.observables import (
     kinetic_temperature,
     make_extra_obs,
 )
+from cavmd_tpu.observe.thermo import (
+    BussiReservoirView,
+    LangevinReservoirView,
+    ThermodynamicQuantities,
+)
 from cavmd_tpu.observe.trackers import (
     AutocorrelationTracker,
     BaseTracker,
@@ -20,6 +25,9 @@ from cavmd_tpu.observe.trackers import (
 )
 
 __all__ = [
+    "BussiReservoirView",
+    "LangevinReservoirView",
+    "ThermodynamicQuantities",
     "cavity_mode_properties",
     "compute_density_field",
     "compute_total_dipole_moment",
