@@ -90,6 +90,7 @@ class ForceField:
     enable_bonds: bool = True
     pair_mode: str = "dense"  # 'dense' (all-pairs) | 'cell' (large N)
     cell_cfg: tuple = None  # CellListConfig when pair_mode == 'cell'
+    cell_block: int = None  # cells per lax.map block (bounds tile memory)
     n_types: int = 0
 
     def compute(self, position, image, box_L, charge, typeid, bond_group, bond_typeid):
@@ -139,6 +140,7 @@ class ForceField:
                     position, box_L, clist, cfg, kern,
                     features=self.cell_features,
                     exclusions=self.cell_exclusions,
+                    cell_block=self.cell_block,
                 )
                 forces = forces + f
                 energies["lj"] = e
@@ -148,6 +150,7 @@ class ForceField:
                     position, box_L, clist, cfg, kern,
                     features=self.cell_features,
                     exclusions=self.cell_exclusions,
+                    cell_block=self.cell_block,
                 )
                 forces = forces + f
                 energies["ewald_short"] = e
@@ -279,12 +282,22 @@ class ForceField:
             )
             qq_jnp = jnp.asarray(qq, dtype)
             coulomb_active_jnp = jnp.asarray(coulomb_active)
-        else:
+        cell_block_val = None
+        if pair_mode == "cell":
             cfg = plan_cells(
                 np.asarray(snapshot.box_L), r_cut, skin=cell_skin,
                 n=snapshot.N, cap=cell_cap,
             )
             cell_cfg_tuple = tuple(cfg)
+            # bound peak tile memory (~256 MB of f32 per materialized tile)
+            tile_bytes_per_cell = cfg.cap * 27 * cfg.cap * 4
+            max_block = max(1, (256 << 20) // max(tile_bytes_per_cell, 1))
+            C = cfg.total_cells
+            if C > max_block:
+                blk = max_block
+                while C % blk != 0:
+                    blk -= 1
+                cell_block_val = blk
             cell_fields.update(
                 cell_features=make_particle_features(
                     snapshot.typeid, snapshot.charge, len(types)
@@ -333,6 +346,7 @@ class ForceField:
             enable_bonds=enable_bonds,
             pair_mode=pair_mode,
             cell_cfg=cell_cfg_tuple,
+            cell_block=cell_block_val,
             n_types=len(types),
         )
 
@@ -350,6 +364,6 @@ jax.tree_util.register_dataclass(
     meta_fields=[
         "l_typeid", "coulomb_rcut", "pppm_order", "pppm_mesh",
         "enable_cavity", "enable_coulomb", "enable_lj", "enable_bonds",
-        "pair_mode", "cell_cfg", "n_types",
+        "pair_mode", "cell_cfg", "cell_block", "n_types",
     ],
 )

@@ -144,16 +144,21 @@ def cell_pair_force(
     pair_kernel,
     features=None,
     exclusions=None,
+    cell_block: int | None = None,
 ):
     """Evaluate a pair interaction over cell tiles.
 
     Args:
         pair_kernel: ``(r2_safe, active, feat_i, feat_j) -> (e, f_over_r)``
             with per-pair energy and scalar force/r (F_i += f_over_r * dr).
-            ``feat_i``: (C, cap, F), ``feat_j``: (C, 27*cap, F) — bucketed
+            ``feat_i``: (B, cap, F), ``feat_j``: (B, 27*cap, F) — bucketed
             per-particle feature rows (type one-hots, charges, ...).
         features: (N+1, F) per-particle features; final row = sentinel.
         exclusions: optional (N+1, max_excl) int32 exclusion table.
+        cell_block: process cells in blocks of this size via ``lax.map`` —
+            bounds peak tile memory to O(block * cap * 27cap) instead of
+            O(C * cap * 27cap); required at ~100k+ particles. Must divide
+            the total cell count; None = all cells at once.
 
     Returns (forces (N,3), energy).
     """
@@ -166,39 +171,68 @@ def cell_pair_force(
 
     idx_b = clist.bucket_idx  # (C, cap)
     pos_b = pos_pad[idx_b]  # (C, cap, 3) — one gather per particle
+    feat_b = features[idx_b] if features is not None else None
+    excl_b = exclusions[idx_b] if exclusions is not None else None
     jc = clist.neighbor_cells  # (C, 27)
-    pos_j = pos_b[jc].reshape(C, 27 * cap, 3)  # whole-cell granules
-    id_j = idx_b[jc].reshape(C, 27 * cap)
-
-    dr = minimum_image(pos_b[:, :, None, :] - pos_j[:, None, :, :], box_L)
-    r2 = jnp.sum(dr * dr, axis=-1)  # (C, cap, 27cap)
-
-    active = (
-        (idx_b < n)[:, :, None]
-        & (id_j < n)[:, None, :]
-        & (idx_b[:, :, None] != id_j[:, None, :])
-        & (r2 < cfg.r_cut * cfg.r_cut)
-    )
-    if exclusions is not None:
-        excl_b = exclusions[idx_b]  # (C, cap, max_excl)
-        is_excl = jnp.any(
-            excl_b[:, :, None, :] == id_j[:, None, :, None], axis=-1
-        )
-        active = active & ~is_excl
-
-    feat_i = feat_j = None
-    if features is not None:
-        feat_b = features[idx_b]  # (C, cap, F)
-        feat_i = feat_b
-        feat_j = feat_b[jc].reshape(C, 27 * cap, -1)
-
-    r2_safe = jnp.where(active, r2, jnp.ones((), dtype))
-    e_pair, f_over_r = pair_kernel(r2_safe, active, feat_i, feat_j)
-
     zero = jnp.zeros((), dtype)
-    energy = 0.5 * jnp.sum(jnp.where(active, e_pair, zero))
-    f_tiles = jnp.where(active, f_over_r, zero)[..., None] * dr
-    f_b = jnp.sum(f_tiles, axis=2)  # (C, cap, 3)
+
+    def block(idx_blk, pos_blk, feat_blk, excl_blk, jc_blk):
+        """Pair tiles for a block of cells -> (f (B,cap,3), energy)."""
+        b = idx_blk.shape[0]
+        pos_j = pos_b[jc_blk].reshape(b, 27 * cap, 3)  # whole-cell granules
+        id_j = idx_b[jc_blk].reshape(b, 27 * cap)
+
+        dr = minimum_image(
+            pos_blk[:, :, None, :] - pos_j[:, None, :, :], box_L
+        )
+        r2 = jnp.sum(dr * dr, axis=-1)  # (B, cap, 27cap)
+
+        active = (
+            (idx_blk < n)[:, :, None]
+            & (id_j < n)[:, None, :]
+            & (idx_blk[:, :, None] != id_j[:, None, :])
+            & (r2 < cfg.r_cut * cfg.r_cut)
+        )
+        if excl_blk is not None:
+            is_excl = jnp.any(
+                excl_blk[:, :, None, :] == id_j[:, None, :, None], axis=-1
+            )
+            active = active & ~is_excl
+
+        feat_j = (
+            feat_b[jc_blk].reshape(b, 27 * cap, -1)
+            if feat_b is not None else None
+        )
+        r2_safe = jnp.where(active, r2, jnp.ones((), dtype))
+        e_pair, f_over_r = pair_kernel(r2_safe, active, feat_blk, feat_j)
+
+        energy = 0.5 * jnp.sum(jnp.where(active, e_pair, zero))
+        f_tiles = jnp.where(active, f_over_r, zero)[..., None] * dr
+        return jnp.sum(f_tiles, axis=2), energy  # (B, cap, 3), scalar
+
+    if cell_block is None or cell_block >= C:
+        f_b, energy = block(idx_b, pos_b, feat_b, excl_b, jc)
+    else:
+        assert C % cell_block == 0, (C, cell_block)
+        nb = C // cell_block
+
+        def mapped(args):
+            return block(*args)
+
+        shaped = (
+            idx_b.reshape(nb, cell_block, cap),
+            pos_b.reshape(nb, cell_block, cap, 3),
+            (feat_b.reshape(nb, cell_block, cap, -1)
+             if feat_b is not None else
+             jnp.zeros((nb, cell_block, cap, 0), dtype)),
+            (excl_b.reshape(nb, cell_block, cap, -1)
+             if excl_b is not None else
+             jnp.zeros((nb, cell_block, cap, 0), jnp.int32)),
+            jc.reshape(nb, cell_block, 27),
+        )
+        f_blocks, e_blocks = jax.lax.map(mapped, shaped)
+        f_b = f_blocks.reshape(C, cap, 3)
+        energy = jnp.sum(e_blocks)
 
     forces = jnp.zeros((n + 1, 3), dtype)
     forces = forces.at[idx_b.reshape(-1)].add(f_b.reshape(-1, 3))

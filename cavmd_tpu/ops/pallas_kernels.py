@@ -85,23 +85,22 @@ def _erfc_pos(x):
 
 
 def _pair_kernel(
-    posT_ref, box_ref, eps_ref, sig2_ref, rcut2_ref, vshift_ref,
+    rows_ref, posT_ref, box_ref, eps_ref, sig2_ref, rcut2_ref, vshift_ref,
     lja_ref, qq_ref, ewa_ref, scal_ref,
     forces_ref, elj_ref, eew_ref, *, tile,
 ):
     i = pl.program_id(0)
-    row0 = i * tile
 
     kappa = scal_ref[0, 0]
     coul_rc2 = scal_ref[0, 1]
 
-    # components as (tile, 1) vs (1, N) -> (tile, N) pairwise arrays
-    f_acc = []
+    # row tile as (tile, 1) columns vs full row as (1, N): static slices of
+    # the two precomputed layouts; no in-kernel transposes or dynamic slices
     r2 = None
     dxs = []
     for d in range(3):
-        xi = posT_ref[d, pl.ds(row0, tile)].reshape(tile, 1)
-        xj = posT_ref[d, :].reshape(1, -1)
+        xi = rows_ref[:, d:d + 1]  # (tile, 1)
+        xj = posT_ref[d:d + 1, :]  # (1, N)
         L = box_ref[0, d]
         dx = xi - xj
         dx = dx - L * jnp.round(dx / L)
@@ -138,7 +137,9 @@ def _pair_kernel(
 
     f_total = f_lj + f_ew
     for d in range(3):
-        forces_ref[pl.ds(0, tile), d] = jnp.sum(f_total * dxs[d], axis=1)
+        forces_ref[:, d:d + 1] = jnp.sum(
+            f_total * dxs[d], axis=1, keepdims=True
+        )
 
     # sequential TPU grid: accumulate tile energies into one SMEM scalar
     @pl.when(i == 0)
@@ -165,6 +166,8 @@ def make_fused_pair_pallas(pack: PallasPairPack, kappa, coulomb_rcut, tile=128,
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # row tile (tile, 3)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # posT (3, Np)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # box (1,3)
             *[
@@ -197,12 +200,13 @@ def make_fused_pair_pallas(pack: PallasPairPack, kappa, coulomb_rcut, tile=128,
     @jax.jit
     def run(position, box_L):
         n = position.shape[0]
-        posT = jnp.zeros((3, np_pad), dtype).at[:, :n].set(
-            position.astype(dtype).T
+        rows = jnp.zeros((np_pad, 3), dtype).at[:n].set(
+            position.astype(dtype)
         )
+        posT = rows.T
         box = jnp.asarray(box_L, dtype).reshape(1, 3)
         forces, elj, eew = call(
-            posT, box, pack.eps, pack.sig2, pack.rcut2, pack.vshift,
+            rows, posT, box, pack.eps, pack.sig2, pack.rcut2, pack.vshift,
             pack.lj_active, pack.qq, pack.ew_active, scal,
         )
         return (
