@@ -79,6 +79,8 @@ class ForceField:
     cell_features: jnp.ndarray = None  # (N+1, T+1)
     cell_exclusions: jnp.ndarray = None  # (N+1, max_excl) int32
     cell_neighbors: jnp.ndarray = None  # (C, 27) int32
+    # pallas backend data
+    pallas_pack: object = None  # PallasPairPack when pair_mode == 'pallas'
     # static
     l_typeid: int = 2
     coulomb_rcut: float = 15.0
@@ -154,6 +156,22 @@ class ForceField:
                 )
                 forces = forces + f
                 energies["ewald_short"] = e
+        elif (
+            self.pair_mode == "pallas"
+            and self.enable_lj and self.enable_coulomb
+        ):
+            # hand-written Pallas kernel backend (f32; matches the jnp
+            # fused path — XLA's fusion is already at roofline at small N,
+            # so this is an opt-in, not the default)
+            from cavmd_tpu.ops.pallas_kernels import pallas_pair_apply
+
+            f, e_lj, e_ew = pallas_pair_apply(
+                position, box_L, self.pallas_pack, self.kappa,
+                self.coulomb_rcut,
+            )
+            forces = forces + f
+            energies["lj"] = e_lj
+            energies["ewald_short"] = e_ew
         elif self.enable_lj and self.enable_coulomb:
             # fused pass: one shared (N,N) distance computation
             from cavmd_tpu.ops.lj import fused_pair_force
@@ -263,6 +281,7 @@ class ForceField:
         # thousand particles; the cell path avoids O(N^2) memory above
         if pair_mode is None:
             pair_mode = "dense" if snapshot.N <= 4096 else "cell"
+        dense_like = pair_mode in ("dense", "pallas")
 
         lj_pair = excl = qq_jnp = coulomb_active_jnp = None
         cell_fields = dict(
@@ -270,7 +289,7 @@ class ForceField:
             cell_features=None, cell_exclusions=None, cell_neighbors=None,
         )
         cell_cfg_tuple = None
-        if pair_mode == "dense":
+        if dense_like:
             excl = bond_exclusion_mask(snapshot.N, snapshot.bond_group)
             lj_pair = LJPairMatrices.create(
                 snapshot.typeid, eps, sig, rcut_t, excl
@@ -282,6 +301,13 @@ class ForceField:
             )
             qq_jnp = jnp.asarray(qq, dtype)
             coulomb_active_jnp = jnp.asarray(coulomb_active)
+        pallas_pack = None
+        if pair_mode == "pallas":
+            from cavmd_tpu.ops.pallas_kernels import PallasPairPack
+
+            pallas_pack = PallasPairPack.create(
+                lj_pair, qq, coulomb_active, snapshot.N
+            )
         cell_block_val = None
         if pair_mode == "cell":
             cfg = plan_cells(
@@ -347,6 +373,7 @@ class ForceField:
             pair_mode=pair_mode,
             cell_cfg=cell_cfg_tuple,
             cell_block=cell_block_val,
+            pallas_pack=pallas_pack,
             n_types=len(types),
         )
 
@@ -359,7 +386,7 @@ jax.tree_util.register_dataclass(
         "lj_pair", "excl_mask",
         "cavity", "qq_pair", "coulomb_active", "kappa", "pppm",
         "lj_eps", "lj_sigma", "lj_rcut",
-        "cell_features", "cell_exclusions", "cell_neighbors",
+        "cell_features", "cell_exclusions", "cell_neighbors", "pallas_pack",
     ],
     meta_fields=[
         "l_typeid", "coulomb_rcut", "pppm_order", "pppm_mesh",

@@ -153,15 +153,30 @@ def _pair_kernel(
         eew_ref[0, 0] += 0.5 * jnp.sum(e_ew)
 
 
+def pallas_pair_apply(position, box_L, pack: PallasPairPack, kappa,
+                      coulomb_rcut, tile=128, interpret=False):
+    """Trace-time entry: fused LJ+Ewald pair pass via the Pallas kernel.
+
+    Callable inside an outer jit/scan (the pallas_call is constructed at
+    trace time); ``kappa`` may be traced. Returns (forces (N,3), e_lj,
+    e_ew) in ``position.dtype``.
+    """
+    run = make_fused_pair_pallas(
+        pack, kappa, coulomb_rcut, tile=tile, interpret=interpret, jit=False
+    )
+    return run(position, box_L)
+
+
 def make_fused_pair_pallas(pack: PallasPairPack, kappa, coulomb_rcut, tile=128,
-                           interpret=False):
-    """Build a jitted ``(position, box_L) -> (forces, e_lj, e_ew)`` closure."""
+                           interpret=False, jit=True):
+    """Build a ``(position, box_L) -> (forces, e_lj, e_ew)`` closure."""
     np_pad = pack.n_pad
     n_tiles = np_pad // tile
     dtype = jnp.float32
-    scal = jnp.asarray(
-        [[float(kappa), float(coulomb_rcut) ** 2]], dtype
-    )
+    scal = jnp.stack(
+        [jnp.asarray(kappa, dtype),
+         jnp.asarray(coulomb_rcut, dtype) ** 2]
+    ).reshape(1, 2)
 
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
@@ -197,7 +212,6 @@ def make_fused_pair_pallas(pack: PallasPairPack, kappa, coulomb_rcut, tile=128,
         interpret=interpret,
     )
 
-    @jax.jit
     def run(position, box_L):
         n = position.shape[0]
         rows = jnp.zeros((np_pad, 3), dtype).at[:n].set(
@@ -215,4 +229,4 @@ def make_fused_pair_pallas(pack: PallasPairPack, kappa, coulomb_rcut, tile=128,
             jnp.sum(eew).astype(position.dtype),
         )
 
-    return run
+    return jax.jit(run) if jit else run

@@ -44,3 +44,39 @@ def test_pallas_pair_matches_jnp():
     # erfc approximation: 1.5e-7 absolute -> loose relative tolerance
     assert float(elj) == pytest.approx(float(elj_ref), rel=1e-5, abs=1e-9)
     assert float(eew) == pytest.approx(float(eew_ref), rel=1e-4, abs=1e-8)
+
+
+def test_forcefield_pallas_mode():
+    """ForceField(pair_mode='pallas') matches dense mode (f32, interpret on CPU).
+
+    Note: the pallas path only replaces the LJ + Ewald-short pair pass."""
+    import cavmd_tpu.ops.pallas_kernels as pk
+
+    snap = make_diatomic_system(24, box_L=24.0, seed=9)
+    snap = add_cavity_particle(
+        snap, coupling=1e-3, freq_cm1=2000.0, temperature_K=100.0, seed=10
+    ).astype(jnp.float32)
+    kw = dict(coupling=1e-3, r_cut=10.0, pppm_mesh=(8, 8, 8), dtype=jnp.float32)
+    ff_dense = ForceField.create(snap, pair_mode="dense", **kw)
+    ff_pallas = ForceField.create(snap, pair_mode="pallas", **kw)
+    assert ff_pallas.pallas_pack is not None
+
+    # interpret mode on CPU: patch the apply default
+    orig = pk.pallas_pair_apply
+
+    def apply_interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pk.pallas_pair_apply = apply_interp
+    try:
+        args = (snap.position, snap.image, snap.box_L, snap.charge,
+                snap.typeid, snap.bond_group, snap.bond_typeid)
+        f1, e1 = ff_dense.compute(*args)
+        import cavmd_tpu.integrate.forcefield  # ensure same symbol  # noqa
+        f2, e2 = ff_pallas.compute(*args)
+    finally:
+        pk.pallas_pair_apply = orig
+    scale = float(jnp.abs(f1).max())
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=3e-6 * scale)
+    assert float(e2["lj"]) == pytest.approx(float(e1["lj"]), rel=1e-4, abs=1e-8)
