@@ -134,25 +134,38 @@ class ForceField:
 
             cfg = CellListConfig(*self.cell_cfg)
             clist = build_cell_list(position, box_L, cfg, self.cell_neighbors)
-            if self.enable_lj:
+            common = dict(
+                features=self.cell_features,
+                exclusions=self.cell_exclusions,
+                cell_block=self.cell_block,
+            )
+            if self.enable_lj and self.enable_coulomb:
+                # fused tile pass: one shared distance computation
+                from cavmd_tpu.ops.neighbor import make_fused_cell_kernel
+
+                kern = make_fused_cell_kernel(
+                    self.lj_eps, self.lj_sigma, self.lj_rcut, self.kappa,
+                    self.n_types,
+                )
+                f, (e_lj, e_ew) = cell_pair_force(
+                    position, box_L, clist, cfg, kern, **common
+                )
+                forces = forces + f
+                energies["lj"] = e_lj
+                energies["ewald_short"] = e_ew
+            elif self.enable_lj:
                 kern = make_lj_cell_kernel(
                     self.lj_eps, self.lj_sigma, self.lj_rcut, self.n_types
                 )
                 f, e = cell_pair_force(
-                    position, box_L, clist, cfg, kern,
-                    features=self.cell_features,
-                    exclusions=self.cell_exclusions,
-                    cell_block=self.cell_block,
+                    position, box_L, clist, cfg, kern, **common
                 )
                 forces = forces + f
                 energies["lj"] = e
-            if self.enable_coulomb:
+            elif self.enable_coulomb:
                 kern = make_ewald_cell_kernel(self.kappa, self.n_types)
                 f, e = cell_pair_force(
-                    position, box_L, clist, cfg, kern,
-                    features=self.cell_features,
-                    exclusions=self.cell_exclusions,
-                    cell_block=self.cell_block,
+                    position, box_L, clist, cfg, kern, **common
                 )
                 forces = forces + f
                 energies["ewald_short"] = e

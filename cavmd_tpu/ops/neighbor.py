@@ -58,7 +58,7 @@ def plan_cells(box_L, r_cut, *, skin=1.0, n=None, density=None, cap=None):
     if cap is None:
         vol_cell = np.prod(box_L) / np.prod([max(c, 1) for c in ncells])
         rho = (n / np.prod(box_L)) if n else (density or 0.01)
-        cap = int(np.ceil(rho * vol_cell * 2.5)) + 4  # 2.5x headroom
+        cap = int(np.ceil(rho * vol_cell * 1.8)) + 8  # headroom; overflow detected
     return CellListConfig(ncells=ncells, cap=cap, r_cut=float(r_cut),
                           skin=float(skin))
 
@@ -206,12 +206,15 @@ def cell_pair_force(
         r2_safe = jnp.where(active, r2, jnp.ones((), dtype))
         e_pair, f_over_r = pair_kernel(r2_safe, active, feat_blk, feat_j)
 
-        energy = 0.5 * jnp.sum(jnp.where(active, e_pair, zero))
+        e_terms = e_pair if isinstance(e_pair, tuple) else (e_pair,)
+        energies = tuple(
+            0.5 * jnp.sum(jnp.where(active, e, zero)) for e in e_terms
+        )
         f_tiles = jnp.where(active, f_over_r, zero)[..., None] * dr
-        return jnp.sum(f_tiles, axis=2), energy  # (B, cap, 3), scalar
+        return jnp.sum(f_tiles, axis=2), energies  # (B, cap, 3), tuple
 
     if cell_block is None or cell_block >= C:
-        f_b, energy = block(idx_b, pos_b, feat_b, excl_b, jc)
+        f_b, energies = block(idx_b, pos_b, feat_b, excl_b, jc)
     else:
         assert C % cell_block == 0, (C, cell_block)
         nb = C // cell_block
@@ -232,11 +235,13 @@ def cell_pair_force(
         )
         f_blocks, e_blocks = jax.lax.map(mapped, shaped)
         f_b = f_blocks.reshape(C, cap, 3)
-        energy = jnp.sum(e_blocks)
+        energies = tuple(jnp.sum(e) for e in e_blocks)
 
     forces = jnp.zeros((n + 1, 3), dtype)
     forces = forces.at[idx_b.reshape(-1)].add(f_b.reshape(-1, 3))
-    return forces[:n], energy
+    if len(energies) == 1:
+        return forces[:n], energies[0]
+    return forces[:n], energies
 
 
 def make_particle_features(typeid, charge, n_types: int):
@@ -274,6 +279,40 @@ def make_lj_cell_kernel(eps_table, sigma_table, rcut_table, n_types: int):
         e = jnp.where(in_range, 4.0 * eps * (s12 - s6) - vshift, zero)
         f = jnp.where(in_range, 24.0 * eps * (2.0 * s12 - s6) / r2_safe, zero)
         return e, f
+
+    return kernel
+
+
+def make_fused_cell_kernel(eps_table, sigma_table, rcut_table, kappa,
+                           n_types: int):
+    """One tile pass computing BOTH shifted-LJ and Ewald-short terms —
+    shares the distance computation (the dominant tile cost at large N).
+    Returns energies as (e_lj, e_ewald)."""
+    import math
+
+    from jax.scipy.special import erfc
+
+    lj = make_lj_cell_kernel(eps_table, sigma_table, rcut_table, n_types)
+
+    def kernel(r2_safe, active, feat_i, feat_j):
+        dtype = r2_safe.dtype
+        e_lj, f_lj = lj(r2_safe, active, feat_i, feat_j)
+
+        k = jnp.asarray(kappa, dtype)
+        two_over_sqrt_pi = jnp.asarray(2.0 / math.sqrt(math.pi), dtype)
+        qq = feat_i[..., n_types][:, :, None] * feat_j[..., n_types][:, None, :]
+        in_range = active & (qq != 0)
+        r = jnp.sqrt(r2_safe)
+        ec = erfc(k * r)
+        zero = jnp.zeros((), dtype)
+        e_ew = jnp.where(in_range, qq * ec / r, zero)
+        f_ew = jnp.where(
+            in_range,
+            qq * (ec / r2_safe + k * two_over_sqrt_pi
+                  * jnp.exp(-(k * r) ** 2) / r) / r,
+            zero,
+        )
+        return (e_lj, e_ew), f_lj + f_ew
 
     return kernel
 
