@@ -429,6 +429,129 @@ def parse_replicas(replicas_str):
     return sorted(set(replicas))
 
 
+def run_vmapped_replicas(args, replica_list):
+    """Batch all replicas into one vmapped program on one chip
+    (SURVEY.md §2.4 replica parallelism; BASELINE config
+    'Replica batch --replicas 1-8 vmapped on one chip').
+
+    Per-replica PRNG streams and thermal velocities; per-replica output
+    files (energy tracker + final GSD frame) with the same naming as the
+    sequential path.
+    """
+    import jax
+
+    setup_backend(args.device)
+    if args.precision == "f64":
+        jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from cavmd_tpu.core.snapshot import add_cavity_particle as inject
+    from cavmd_tpu.core.system import make_diatomic_system
+    from cavmd_tpu.core.units import PhysicalConstants as PC
+    from cavmd_tpu.integrate import (
+        ForceField, MethodSpec, make_step_fn, resolve_methods,
+    )
+    from cavmd_tpu.io import HOOMDTrajectory
+    from cavmd_tpu.observe import EnergyTracker
+    from cavmd_tpu.parallel import (
+        init_replica_states, run_replica_steps, split_replica_obs,
+    )
+    from cavmd_tpu.utils import fire_minimize
+
+    incavity = not args.no_cavity
+    coupling_str = f"{args.coupling:.0e}".replace("-", "neg").replace("+", "pos")
+    exp_dir = Path(f"cavity_coupling_{coupling_str}" if incavity else "no_cavity")
+    exp_dir.mkdir(exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir(exp_dir)
+    try:
+        dtype = np.float64 if args.precision == "f64" else np.float32
+        snap = make_diatomic_system(args.n_molecules, seed=args.seed, dtype=dtype)
+        ff0 = ForceField.create(snap, enable_cavity=False)
+        snap = fire_minimize(snap, ff0, n_steps=300)
+        if incavity:
+            snap = inject(
+                snap, coupling=args.coupling, freq_cm1=args.frequency,
+                temperature_K=args.temperature, finite_q=args.finite_q,
+                seed=args.seed + 1,
+            )
+        ff = ForceField.create(
+            snap, coupling=args.coupling, freq_cm1=args.frequency,
+            enable_cavity=incavity,
+        )
+        kT = PC.kT_from_kelvin(args.temperature)
+        methods = [_method_spec(args.molecular_bath, "molecular", kT,
+                                args.molecular_tau)]
+        if incavity:
+            methods.append(_method_spec(args.cavity_bath, "cavity", kT,
+                                        args.cavity_tau,
+                                        args))
+        methods = resolve_methods(snap, tuple(methods), ff.l_typeid)
+        step = make_step_fn(ff, methods)
+
+        n_rep = len(replica_list)
+        dt = PC.fs_to_atomic_units(args.timestep if args.fixed_timestep else 0.25)
+        batched = init_replica_states(
+            snap, ff, n_replicas=n_rep, dt=dt, seed=args.seed, kT=kT,
+        )
+        n_dof = 3 * int(np.sum(np.asarray(snap.typeid) != ff.l_typeid))
+        trackers = [
+            EnergyTracker(output_prefix=f"prod-{r}", output_period_steps=100,
+                          n_molecular_dof=n_dof)
+            for r in replica_list
+        ]
+
+        runner = jax.jit(
+            lambda s, n: run_replica_steps(step, s, n), static_argnums=(1,)
+        )
+        chunk = 500
+        total_ps = 0.0
+        t0 = time.time()
+        while total_ps < args.runtime:
+            batched, obs = runner(batched, chunk)
+            per = split_replica_obs(obs, n_rep)
+            for tr, o in zip(trackers, per):
+                tr.consume(o)
+            total_ps = float(np.asarray(obs["time_au"])[-1, 0]) * PC.TIME_PS_CONVERSION
+        wall = time.time() - t0
+        steps = int(np.asarray(batched.timestep)[0])
+        print(f"vmapped {n_rep} replicas x {steps} steps in {wall:.1f}s "
+              f"({n_rep * steps / max(wall, 1e-9):.0f} aggregate steps/s)")
+
+        # final per-replica GSD frames
+        pos = np.asarray(batched.position)
+        img = np.asarray(batched.image)
+        vel = np.asarray(batched.velocity)
+        for k, r in enumerate(replica_list):
+            out = snap.replace(
+                position=pos[k], image=img[k], velocity=vel[k],
+            )
+            with HOOMDTrajectory(f"prod-{r}.gsd", "w") as t:
+                t.append(out, step=steps)
+        return True
+    finally:
+        os.chdir(cwd)
+
+
+def _method_spec(kind, group, kT, tau_ps, args=None):
+    from cavmd_tpu.core.units import PhysicalConstants as PC
+    from cavmd_tpu.integrate import MethodSpec
+
+    kind = kind.lower()
+    if kind == "bussi":
+        return MethodSpec(kind="bussi", group=group, kT=kT,
+                          tau=PC.ps_to_atomic_units(tau_ps))
+    if kind == "langevin":
+        gamma = PC.gamma_from_tau_ps(tau_ps)
+        if group == "cavity" and args is not None:
+            gamma *= args.cavity_damping_factor if hasattr(
+                args, "cavity_damping_factor") else 1.0
+        return MethodSpec(kind="langevin", group=group, kT=kT, gamma=gamma)
+    if kind == "none":
+        return MethodSpec(kind="nve", group=group)
+    raise ValueError(f"invalid thermostat {kind}")
+
+
 def run_single_experiment(args, replica, frame):
     """One experiment in its coupling-named directory
     (parity: 05_advanced_run.py:1353-1439)."""
@@ -516,6 +639,10 @@ def build_parser():
                         help="Compute device (TPU = default accelerator)")
     parser.add_argument("--truncate-gsd", action="store_true")
     # cavmd_tpu extensions
+    parser.add_argument("--vmap-replicas", action="store_true",
+                        help="advance all replicas as one vmapped batch "
+                             "on one chip (generated scene; per-replica "
+                             "energy trackers + final GSD frames)")
     parser.add_argument("--input-gsd", type=str, default="../init-0.gsd")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--n-molecules", type=int, default=250,
@@ -542,6 +669,11 @@ def main(argv=None):
 
     start = time.time()
     ok = fail = 0
+    if args.vmap_replicas:
+        success = run_vmapped_replicas(args, replica_list)
+        print(f"\nvmapped batch: {'SUCCESS' if success else 'FAILED'}")
+        print(f"Wall time: {time.time() - start:.2f} seconds")
+        return 0 if success else 1
     for replica in replica_list:
         frame = replica  # replica doubles as input frame (reference 1571)
         print(f"\nRunning replica {replica}...")

@@ -83,3 +83,26 @@ def test_resume_from_frame(tmp_path, monkeypatch):
     ])
     assert rc == 0
     assert (tmp_path / "cavity_coupling_1eneg03" / "prod-2.gsd").exists()
+
+
+@pytest.mark.slow
+def test_vmap_replicas(tmp_path, monkeypatch):
+    """--vmap-replicas: batched trajectories, per-replica output files."""
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "--vmap-replicas", "--replicas", "1-3", "--runtime", "0.005",
+        "--device", "CPU", "--n-molecules", "10",
+    ])
+    assert rc == 0
+    out = tmp_path / "cavity_coupling_1eneg03"
+    for r in (1, 2, 3):
+        assert (out / f"prod-{r}.gsd").exists()
+        assert (out / f"prod-{r}_energy_tracker.txt").exists()
+    # replicas decorrelate: final positions differ between replicas
+    from cavmd_tpu.io import open_gsd
+
+    with open_gsd(str(out / "prod-1.gsd")) as t1, \
+         open_gsd(str(out / "prod-2.gsd")) as t2:
+        p1 = np.asarray(t1[-1].position)
+        p2 = np.asarray(t2[-1].position)
+    assert not np.allclose(p1, p2)
