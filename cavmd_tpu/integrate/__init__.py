@@ -20,6 +20,7 @@ from cavmd_tpu.integrate.thermostats import (
     mttk_advance,
     mttk_energy,
     mttk_rescale_factor,
+    mttk_thermalize,
     thermalize_velocities,
 )
 from cavmd_tpu.integrate.rng import master_key, stream_key
@@ -45,6 +46,7 @@ __all__ = [
     "mttk_advance",
     "mttk_energy",
     "mttk_rescale_factor",
+    "mttk_thermalize",
     "thermalize_velocities",
     "master_key",
     "stream_key",

@@ -169,6 +169,14 @@ def mttk_energy(state: MTTKState, dof: float, set_T, tau):
     return dof * set_T * (state.xi**2 * tau**2 / 2.0 + state.eta)
 
 
+def mttk_thermalize(key, dof: float, tau):
+    """Random initial xi ~ N(0, 1/(dof tau^2)) — reference
+    Thermostat.h:273-323 (``thermalizeThermostat``; the rank-0 draw +
+    MPI_Bcast pattern becomes a single replicated draw under SPMD)."""
+    sigma = jnp.sqrt(1.0 / (dof * tau * tau))
+    return MTTKState(xi=sigma * jax.random.normal(key), eta=jnp.zeros(()))
+
+
 def berendsen_factor(current_T, set_T, dt, tau):
     """lambda = sqrt(1 + dt/tau (T0/T - 1)) — reference Thermostat.h:469-489."""
     return jnp.sqrt(1.0 + dt / tau * (set_T / current_T - 1.0))

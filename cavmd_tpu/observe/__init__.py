@@ -21,6 +21,7 @@ from cavmd_tpu.observe.trackers import (
     EnergyTracker,
     FieldAutocorrelationTracker,
     PerformanceTracker,
+    Status,
     TimestepFormatter,
 )
 
@@ -43,5 +44,6 @@ __all__ = [
     "EnergyTracker",
     "FieldAutocorrelationTracker",
     "PerformanceTracker",
+    "Status",
     "TimestepFormatter",
 ]

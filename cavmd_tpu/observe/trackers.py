@@ -368,6 +368,46 @@ class TimestepFormatter:
         )
 
 
+class Status:
+    """Status monitor: ETA / ns-per-day / dt strings for logging
+    (parity: reference analysis.py:1119-1216). Wraps a Simulation and an
+    optional ElapsedTimeTracker."""
+
+    def __init__(self, simulation, runtime_ps, time_tracker=None):
+        self.sim = simulation
+        self.runtime_ps = runtime_ps
+        self.time_tracker = time_tracker
+        self.start = datetime.datetime.now()
+
+    def _elapsed_ps(self):
+        if self.time_tracker is not None:
+            return self.time_tracker.elapsed_time
+        return self.sim.elapsed_ps
+
+    @property
+    def seconds_remaining(self):
+        done = self._elapsed_ps()
+        wall = (datetime.datetime.now() - self.start).total_seconds()
+        if done <= 0:
+            return 0
+        return max(0.0, (self.runtime_ps / done) * wall - wall)
+
+    @property
+    def etr(self):
+        return str(datetime.timedelta(seconds=int(self.seconds_remaining)))
+
+    @property
+    def nsd(self):
+        wall = (datetime.datetime.now() - self.start).total_seconds()
+        if wall <= 0:
+            return "0.0"
+        return str(round(self._elapsed_ps() / wall / 1000.0 * 86400.0, 6))
+
+    @property
+    def elapsed(self):
+        return str(datetime.datetime.now() - self.start)
+
+
 class PerformanceTracker:
     """ns/day + ETA from wall clock (parity: 05_advanced_run.py:88-139 and
     Status, analysis.py:1119-1216)."""

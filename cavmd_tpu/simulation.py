@@ -114,13 +114,22 @@ class Simulation:
         return float(new_dt)
 
     # -------------------------------------------------------------------- run
-    def run(self, *, n_steps: int | None = None, runtime_ps: float | None = None):
+    def run(self, *, n_steps: int | None = None, runtime_ps: float | None = None,
+            profile_dir: str | None = None):
         """Run until ``n_steps`` or ``runtime_ps`` (whichever given).
 
         Observables stream to trackers/writers once per chunk.
+        ``profile_dir``: capture a ``jax.profiler`` trace of the run
+        (the tracing/observability subsystem — SURVEY.md §5; view with
+        TensorBoard or Perfetto).
         """
         if n_steps is None and runtime_ps is None:
             raise ValueError("give n_steps or runtime_ps")
+        if profile_dir is not None:
+            import contextlib
+
+            with jax.profiler.trace(profile_dir):
+                return self.run(n_steps=n_steps, runtime_ps=runtime_ps)
         steps_done = 0
         while True:
             if n_steps is not None:
