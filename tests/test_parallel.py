@@ -136,3 +136,42 @@ def test_sharded_replica_mesh(system):
         np.asarray(sh_final.position), np.asarray(ref_final.position),
         rtol=1e-10, atol=1e-10,
     )
+
+
+def test_sharded_cell_mode():
+    """Cell-mode ForceField under the sharded runner (the large-N config:
+    cell pair path + particle-axis sharding)."""
+    snap = make_diatomic_system(60, box_L=48.0, temperature_K=100.0, seed=61)
+    snap = add_cavity_particle(
+        snap, coupling=1e-3, freq_cm1=2000.0, temperature_K=100.0, seed=62
+    )
+    snap, _ = pad_snapshot_to(snap, 8)
+    ff = ForceField.create(
+        snap, coupling=1e-3, pair_mode="cell", r_cut=12.0,
+        pppm_mesh=(16, 16, 16),
+    )
+    kT = PC.kT_from_kelvin(100.0)
+    methods = resolve_methods(
+        snap,
+        (
+            MethodSpec(kind="bussi", group="molecular", kT=kT,
+                       tau=PC.ps_to_atomic_units(5.0)),
+            MethodSpec(kind="langevin", group="cavity", kT=kT,
+                       gamma=PC.gamma_from_tau_ps(5.0)),
+        ),
+        ff.l_typeid,
+    )
+    step = make_step_fn(ff, methods)
+    dt = PC.fs_to_atomic_units(0.5)
+    state = init_state(snap, ff, dt=dt, seed=3)
+
+    ref_final, _ = jax.jit(lambda s: run_steps(step, s, 10))(state)
+
+    mesh = make_mesh(n_replica=1, n_atoms_shards=8)
+    sstate = shard_state(state, mesh)
+    runner = make_sharded_runner(step, mesh, state)
+    sh_final, _ = runner(sstate, 10)
+    np.testing.assert_allclose(
+        np.asarray(sh_final.position), np.asarray(ref_final.position),
+        rtol=1e-10, atol=1e-10,
+    )
