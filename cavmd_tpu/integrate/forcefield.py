@@ -94,6 +94,11 @@ class ForceField:
     cell_cfg: tuple = None  # CellListConfig when pair_mode == 'cell'
     cell_block: int = None  # cells per lax.map block (bounds tile memory)
     n_types: int = 0
+    # user extension point (parity: hoomd.md.force.Custom — consumed
+    # surface, SURVEY.md §2.3): traced callables
+    # (position, image, box_L, charge, typeid) -> (forces, energy),
+    # fused into the same step; energies land in 'custom_<i>' keys
+    custom_forces: tuple = ()
 
     def compute(self, position, image, box_L, charge, typeid, bond_group, bond_typeid):
         """Total forces + component energies in one fused evaluation.
@@ -222,6 +227,11 @@ class ForceField:
             forces = forces - grad - f_corr
             energies["ewald_long"] = e_rec - e_self - e_corr
 
+        for i, custom in enumerate(self.custom_forces):
+            f, e = custom(position, image, box_L, charge, typeid)
+            forces = forces + f
+            energies[f"custom_{i}"] = e
+
         if self.enable_cavity:
             f, e = cavity_force(
                 position, image, box_L, charge, typeid, self.l_typeid, self.cavity
@@ -252,6 +262,7 @@ class ForceField:
         kappa: float | None = None,
         ewald_accuracy: float = 1e-6,
         pair_mode: str | None = None,
+        custom_forces: tuple = (),
         cell_skin: float = 1.5,
         cell_cap: int | None = None,
         dtype=None,
@@ -387,6 +398,7 @@ class ForceField:
             cell_cfg=cell_cfg_tuple,
             cell_block=cell_block_val,
             pallas_pack=pallas_pack,
+            custom_forces=tuple(custom_forces),
             n_types=len(types),
         )
 
@@ -404,6 +416,6 @@ jax.tree_util.register_dataclass(
     meta_fields=[
         "l_typeid", "coulomb_rcut", "pppm_order", "pppm_mesh",
         "enable_cavity", "enable_coulomb", "enable_lj", "enable_bonds",
-        "pair_mode", "cell_cfg", "cell_block", "n_types",
+        "pair_mode", "cell_cfg", "cell_block", "n_types", "custom_forces",
     ],
 )

@@ -326,8 +326,9 @@ def run_steps(step_fn, state: MDState, n_steps: int):
 
 
 def potential_energy(energies) -> jnp.ndarray:
-    """Total PE = molecular + cavity components (analysis.py:763-812)."""
-    return (
+    """Total PE = molecular + cavity (+ custom) components
+    (analysis.py:763-812)."""
+    total = (
         energies["harmonic"]
         + energies["lj"]
         + energies["ewald_short"]
@@ -336,6 +337,10 @@ def potential_energy(energies) -> jnp.ndarray:
         + energies["cavity_coupling"]
         + energies["cavity_dipole_self"]
     )
+    for key in energies:
+        if key.startswith("custom_"):
+            total = total + energies[key]
+    return total
 
 
 def universe_energy(obs) -> jnp.ndarray:

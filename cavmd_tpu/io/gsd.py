@@ -246,10 +246,20 @@ class HOOMDTrajectory:
         self.close()
 
     # ----------------------------------------------------------------- write
-    def append(self, snapshot, *, step: int = 0, dtype=np.float32):
-        """Write one frame from a Snapshot."""
+    def append(self, snapshot, *, step: int = 0, dtype=np.float32,
+               log_data=None):
+        """Write one frame from a Snapshot.
+
+        ``log_data``: optional {name: scalar/array} written as ``log/<name>``
+        chunks — parity with HOOMD's GSD-embedded logger data
+        (``gsd_writer.logger``, reference 05_advanced_run.py:1239).
+        """
         f = self.file
         f.begin_frame()
+        if log_data:
+            for name, value in log_data.items():
+                arr = np.atleast_1d(np.asarray(value, np.float64))
+                f.write_chunk(f"log/{name}", arr)
         n = snapshot.N
         box = np.asarray(snapshot.box_L, dtype=np.float32)
         f.write_chunk("configuration/step", np.asarray([step], np.uint64))
@@ -328,6 +338,10 @@ class HOOMDTrajectory:
 
     def __getitem__(self, frame):
         return self.read_frame(frame)
+
+    def read_log(self, frame: int, name: str):
+        """Read a ``log/<name>`` chunk written via ``append(log_data=...)``."""
+        return self.file.read_chunk(frame, f"log/{name}")
 
 
 def open_gsd(path, mode="r"):

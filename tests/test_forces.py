@@ -159,3 +159,37 @@ def test_lj_energy_shift_continuity():
     pos = jnp.asarray([[0.0, 0.0, 0.0], [2.4999999, 0.0, 0.0]])
     _, e = lj_dense(pos, box, jnp.zeros(2, jnp.int32), eps, sig, rcut)
     assert abs(float(e)) < 1e-5
+
+
+def test_custom_force_hook():
+    """User custom forces (hoomd.md.force.Custom parity) fuse into the step
+    and join the energy audit."""
+    from cavmd_tpu.integrate import ForceField, MethodSpec, init_state, \
+        make_step_fn, resolve_methods, run_steps, potential_energy, universe_energy
+    from cavmd_tpu.core import PhysicalConstants as PC
+
+    snap = make_diatomic_system(8, box_L=18.0, temperature_K=50.0, seed=71)
+
+    def harmonic_trap(position, image, box_L, charge, typeid):
+        k = 1e-4
+        e = 0.5 * k * jnp.sum(position ** 2)
+        return -k * position, e
+
+    ff = ForceField.create(
+        snap, enable_cavity=False, enable_coulomb=False,
+        custom_forces=(harmonic_trap,),
+    )
+    args = (snap.position, snap.image, snap.box_L, snap.charge, snap.typeid,
+            snap.bond_group, snap.bond_typeid)
+    f, e = ff.compute(*args)
+    assert "custom_0" in e and float(e["custom_0"]) > 0
+
+    # NVE with the trap still conserves energy (custom PE in the audit)
+    methods = resolve_methods(snap, (MethodSpec(kind="nve", group="all"),), -1)
+    step = jax.jit(make_step_fn(ff, methods))
+    state = init_state(snap, ff, dt=PC.fs_to_atomic_units(0.25), seed=1)
+    final, obs = run_steps(step, state, 300)
+    E = np.asarray(
+        potential_energy(obs) + obs["kinetic_molecular"] + obs["kinetic_cavity"]
+    )
+    assert np.abs(E - E[0]).max() < 5e-6
