@@ -139,6 +139,10 @@ class ForceField:
 
             cfg = CellListConfig(*self.cell_cfg)
             clist = build_cell_list(position, box_L, cfg, self.cell_neighbors)
+            # failure detection (SURVEY.md §5): a bucket overflow would
+            # silently drop pairs — surface it in the observable stream so
+            # the chunked runner can abort (Simulation.run checks it)
+            energies["cell_overflow"] = clist.overflow.astype(dtype)
             common = dict(
                 features=self.cell_features,
                 exclusions=self.cell_exclusions,

@@ -340,6 +340,7 @@ def potential_energy(energies) -> jnp.ndarray:
     for key in energies:
         if key.startswith("custom_"):
             total = total + energies[key]
+        # diagnostic flags (e.g. cell_overflow) are not energies
     return total
 
 

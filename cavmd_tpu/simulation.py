@@ -141,6 +141,12 @@ class Simulation:
                 chunk = self.chunk_size
             self.state, obs = self._run_chunk(self.state, chunk)
             obs_np = {k: np.asarray(v) for k, v in obs.items()}
+            if "cell_overflow" in obs_np and obs_np["cell_overflow"].any():
+                raise RuntimeError(
+                    "cell-list bucket overflow detected — increase "
+                    "cell_cap / skin in ForceField.create (results from "
+                    "this chunk are unreliable)"
+                )
             for tracker in self.trackers:
                 tracker.consume(obs_np)
             for writer in self.writers:

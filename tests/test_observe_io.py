@@ -197,3 +197,24 @@ def test_table_writer(sim, capsys):
     out = capsys.readouterr().out
     assert "timestep" in out and "ns_per_day" in out
     assert len(out.strip().splitlines()) >= 2
+
+
+def test_full_state_checkpoint_exact_resume(sim, tmp_path):
+    """save/load of the complete MDState gives a bit-exact continuation
+    (RNG + reservoirs + thermostat state included — beyond the reference's
+    GSD-only resume)."""
+    from cavmd_tpu.io import load_checkpoint, save_checkpoint
+
+    sim.run(n_steps=100)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, sim.state)
+    # continue 100 steps from the live state
+    sim.run(n_steps=100)
+    final_live = np.asarray(sim.state.position)
+    res_live = np.asarray(sim.state.bussi_reservoir)
+
+    # reload and continue the same 100 steps
+    sim.state = load_checkpoint(path, sim.state)
+    sim.run(n_steps=100)
+    np.testing.assert_array_equal(np.asarray(sim.state.position), final_live)
+    np.testing.assert_array_equal(np.asarray(sim.state.bussi_reservoir), res_live)
