@@ -9,6 +9,7 @@ bonds work across the periodic boundary.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cavmd_tpu.core.box import minimum_image
@@ -41,8 +42,12 @@ def harmonic_bond_force_incidence(position, box_L, gi, gj, kb, rb):
     per-type tables at setup (topology is static).
     """
     dtype = position.dtype
-    pos_i = jnp.dot(gi, position, preferred_element_type=dtype)  # (Nb,3)
-    pos_j = jnp.dot(gj, position, preferred_element_type=dtype)
+    # HIGHEST precision: TPU f32 matmuls default to bf16 passes (8 mantissa
+    # bits) — bf16-rounded positions inject catastrophic bond-force noise
+    # (measured: NVE heats 100 K -> 6000 K in 30k steps without this)
+    hp = jax.lax.Precision.HIGHEST
+    pos_i = jnp.dot(gi, position, precision=hp, preferred_element_type=dtype)
+    pos_j = jnp.dot(gj, position, precision=hp, preferred_element_type=dtype)
     dr = minimum_image(pos_j - pos_i, box_L)
     r = jnp.sqrt(jnp.sum(dr * dr, axis=1))
 
@@ -50,9 +55,8 @@ def harmonic_bond_force_incidence(position, box_L, gi, gj, kb, rb):
     fmag = -kb * (r - rb) / safe_r
     f_j = fmag[:, None] * dr  # force on j
 
-    forces = jnp.dot(gj.T, f_j, preferred_element_type=dtype) - jnp.dot(
-        gi.T, f_j, preferred_element_type=dtype
-    )
+    forces = jnp.dot(gj.T, f_j, precision=hp, preferred_element_type=dtype) \
+        - jnp.dot(gi.T, f_j, precision=hp, preferred_element_type=dtype)
     energy = jnp.sum(0.5 * kb * (r - rb) ** 2)
     return forces, energy
 

@@ -265,7 +265,8 @@ def make_lj_cell_kernel(eps_table, sigma_table, rcut_table, n_types: int):
         hj = feat_j[..., :n_types]  # (C, 27cap, T)
 
         def combine(table):
-            return jnp.einsum("cit,tu,cju->cij", hi, table, hj)
+            return jnp.einsum("cit,tu,cju->cij", hi, table, hj,
+                              precision=jax.lax.Precision.HIGHEST)
 
         eps = combine(eps_table)
         s2 = combine(sig2_t)

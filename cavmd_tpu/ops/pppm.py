@@ -180,7 +180,8 @@ def _spread_matrices(position, box_L, order: int, mesh):
     for d, K in enumerate(mesh):
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
         onehot = (idx[:, d, :, None] == cols).astype(dtype)  # (N,p,K)
-        mats.append(jnp.einsum("njk,nj->nk", onehot, w[:, d]))  # (N,K)
+        mats.append(jnp.einsum("njk,nj->nk", onehot, w[:, d],
+                                precision=jax.lax.Precision.HIGHEST))
     return mats
 
 
@@ -199,7 +200,9 @@ def pppm_reciprocal_energy(position, charge, box_L, params: PPPMParams, order: i
     Sx, Sy, Sz = _spread_matrices(position, box_L, order, mesh)
     A = charge[:, None] * Sx  # (N,Kx)
     B = (Sy[:, :, None] * Sz[:, None, :]).reshape(-1, Ky * Kz)  # (N,Ky*Kz)
-    grid = jnp.dot(A.T, B, preferred_element_type=dtype).reshape(Kx, Ky, Kz)
+    hp = jax.lax.Precision.HIGHEST  # TPU f32 matmul defaults to bf16
+    grid = jnp.dot(A.T, B, precision=hp,
+                   preferred_element_type=dtype).reshape(Kx, Ky, Kz)
 
     # 3-D DFT via per-axis matmuls with precomputed DFT matrices.
     # TPU-native design note: XLA's FFT costs ~44 us per 32^3 transform on
@@ -213,12 +216,12 @@ def pppm_reciprocal_energy(position, charge, box_L, params: PPPMParams, order: i
         re_m = jnp.moveaxis(re, axis, 0).reshape(mesh[axis], -1)
         im_m = jnp.moveaxis(im, axis, 0).reshape(mesh[axis], -1)
         new_re = (
-            jnp.dot(wr, re_m, preferred_element_type=dtype)
-            - jnp.dot(wi, im_m, preferred_element_type=dtype)
+            jnp.dot(wr, re_m, precision=hp, preferred_element_type=dtype)
+            - jnp.dot(wi, im_m, precision=hp, preferred_element_type=dtype)
         )
         new_im = (
-            jnp.dot(wr, im_m, preferred_element_type=dtype)
-            + jnp.dot(wi, re_m, preferred_element_type=dtype)
+            jnp.dot(wr, im_m, precision=hp, preferred_element_type=dtype)
+            + jnp.dot(wi, re_m, precision=hp, preferred_element_type=dtype)
         )
         re = jnp.moveaxis(new_re.reshape(mesh[axis], *other), 0, axis)
         im = jnp.moveaxis(new_im.reshape(mesh[axis], *other), 0, axis)
