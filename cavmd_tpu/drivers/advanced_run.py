@@ -180,6 +180,8 @@ class CavityMDSimulation:
         import jax
 
         setup_backend(self.device)
+        if self.precision == "auto":
+            self.precision = "f64" if self.device.upper() == "CPU" else "f32"
         if self.precision == "f64":
             jax.config.update("jax_enable_x64", True)
         self.dtype = np.float64 if self.precision == "f64" else np.float32
@@ -441,7 +443,10 @@ def run_vmapped_replicas(args, replica_list):
     import jax
 
     setup_backend(args.device)
-    if args.precision == "f64":
+    precision = args.precision
+    if precision == "auto":
+        precision = "f64" if args.device.upper() == "CPU" else "f32"
+    if precision == "f64":
         jax.config.update("jax_enable_x64", True)
     import numpy as np
 
@@ -465,7 +470,7 @@ def run_vmapped_replicas(args, replica_list):
     cwd = os.getcwd()
     os.chdir(exp_dir)
     try:
-        dtype = np.float64 if args.precision == "f64" else np.float32
+        dtype = np.float64 if precision == "f64" else np.float32
         snap = make_diatomic_system(args.n_molecules, seed=args.seed, dtype=dtype)
         ff0 = ForceField.create(snap, enable_cavity=False)
         snap = fire_minimize(snap, ff0, n_steps=300)
@@ -647,8 +652,9 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--n-molecules", type=int, default=250,
                         help="molecules when generating a missing input GSD")
-    parser.add_argument("--precision", type=str, default="f64",
-                        choices=["f32", "f64"])
+    parser.add_argument("--precision", type=str, default="auto",
+                        choices=["auto", "f32", "f64"],
+                        help="auto = f64 on CPU (fidelity), f32 on TPU/GPU")
     return parser
 
 

@@ -62,6 +62,9 @@ def make_adaptive_step(
         state = jax.lax.cond(
             state.timestep % period == 0, update, lambda s: s, state
         )
-        return step_fn(state)
+        new_state, obs = step_fn(state)
+        # logged like the reference's ('Adaptive','error_tolerance') entry
+        obs["error_tolerance"] = state.error_tolerance
+        return new_state, obs
 
     return astep
