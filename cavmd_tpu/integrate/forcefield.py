@@ -99,6 +99,9 @@ class ForceField:
     # (position, image, box_L, charge, typeid) -> (forces, energy),
     # fused into the same step; energies land in 'custom_<i>' keys
     custom_forces: tuple = ()
+    # uniform cutoff of all enabled type pairs (None if they differ) —
+    # enables the reduced-traffic fused cell kernel
+    uniform_rcut: float = None
 
     def compute(self, position, image, box_L, charge, typeid, bond_group, bond_typeid):
         """Total forces + component energies in one fused evaluation.
@@ -154,7 +157,7 @@ class ForceField:
 
                 kern = make_fused_cell_kernel(
                     self.lj_eps, self.lj_sigma, self.lj_rcut, self.kappa,
-                    self.n_types,
+                    self.n_types, uniform_rcut=self.uniform_rcut,
                 )
                 f, (e_lj, e_ew) = cell_pair_force(
                     position, box_L, clist, cfg, kern, **common
@@ -336,6 +339,16 @@ class ForceField:
             pallas_pack = PallasPairPack.create(
                 lj_pair, qq, coulomb_active, snapshot.N
             )
+        # uniform-cutoff detection for the reduced-traffic cell kernel
+        eps_np = np.asarray(eps)
+        rc_np = np.asarray(rcut_t)
+        enabled = eps_np != 0
+        uniform_rcut_val = None
+        if enabled.any():
+            vals = np.unique(rc_np[enabled])
+            if len(vals) == 1:
+                uniform_rcut_val = float(vals[0])
+
         cell_block_val = None
         if pair_mode == "cell":
             cfg = plan_cells(
@@ -403,6 +416,7 @@ class ForceField:
             cell_block=cell_block_val,
             pallas_pack=pallas_pack,
             custom_forces=tuple(custom_forces),
+            uniform_rcut=uniform_rcut_val,
             n_types=len(types),
         )
 
@@ -421,5 +435,6 @@ jax.tree_util.register_dataclass(
         "l_typeid", "coulomb_rcut", "pppm_order", "pppm_mesh",
         "enable_cavity", "enable_coulomb", "enable_lj", "enable_bonds",
         "pair_mode", "cell_cfg", "cell_block", "n_types", "custom_forces",
+        "uniform_rcut",
     ],
 )

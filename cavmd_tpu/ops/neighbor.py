@@ -285,15 +285,47 @@ def make_lj_cell_kernel(eps_table, sigma_table, rcut_table, n_types: int):
 
 
 def make_fused_cell_kernel(eps_table, sigma_table, rcut_table, kappa,
-                           n_types: int):
+                           n_types: int, uniform_rcut: float | None = None):
     """One tile pass computing BOTH shifted-LJ and Ewald-short terms —
     shares the distance computation (the dominant tile cost at large N).
-    Returns energies as (e_lj, e_ewald)."""
+    Returns energies as (e_lj, e_ewald).
+
+    With ``uniform_rcut`` (every *enabled* type pair shares one cutoff —
+    the reference workflow's case, r_cut=15 for all real pairs and eps=0
+    for photon pairs) only eps and sigma^2 are combined per pair; the
+    cutoff test uses the scalar and the energy shift is computed inline —
+    halving the (C, cap, 27cap)-sized parameter tensors, the HBM bottleneck
+    at large N.
+    """
     import math
 
     from jax.scipy.special import erfc
 
-    lj = make_lj_cell_kernel(eps_table, sigma_table, rcut_table, n_types)
+    if uniform_rcut is not None:
+        sig2_t = sigma_table * sigma_table
+        rc2 = float(uniform_rcut) ** 2
+
+        def lj(r2_safe, active, feat_i, feat_j):
+            dtype = r2_safe.dtype
+            hi = feat_i[..., :n_types]
+            hj = feat_j[..., :n_types]
+            hp = jax.lax.Precision.HIGHEST
+            eps = jnp.einsum("cit,tu,cju->cij", hi, eps_table, hj, precision=hp)
+            s2 = jnp.einsum("cit,tu,cju->cij", hi, sig2_t, hj, precision=hp)
+            in_range = active & (r2_safe < rc2) & (eps != 0)
+            inv = s2 / r2_safe
+            s6 = inv * inv * inv
+            s12 = s6 * s6
+            # inline shift: (sigma/rc)^6 = s2^3 / rc^6
+            src6 = (s2 * s2 * s2) / (rc2 * rc2 * rc2)
+            vshift = 4.0 * eps * (src6 * src6 - src6)
+            zero = jnp.zeros((), dtype)
+            e = jnp.where(in_range, 4.0 * eps * (s12 - s6) - vshift, zero)
+            f = jnp.where(in_range,
+                          24.0 * eps * (2.0 * s12 - s6) / r2_safe, zero)
+            return e, f
+    else:
+        lj = make_lj_cell_kernel(eps_table, sigma_table, rcut_table, n_types)
 
     def kernel(r2_safe, active, feat_i, feat_j):
         dtype = r2_safe.dtype
