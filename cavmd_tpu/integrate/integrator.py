@@ -89,9 +89,12 @@ class MDState:
     box_L: jnp.ndarray
     # cached forces F(t) (avoids recomputation at step start)
     forces: jnp.ndarray
-    # time
+    # time — Kahan-compensated accumulation: in f32, once t ~ 1e8 a.u.
+    # (~2.4 ns) the per-step dt (~10 a.u.) falls below the ulp and naive
+    # accumulation stalls; the compensation term keeps long runs exact
     dt: jnp.ndarray
     time_au: jnp.ndarray
+    time_comp: jnp.ndarray  # Kahan compensation
     timestep: jnp.ndarray  # int32
     # RNG
     key: jnp.ndarray
@@ -113,7 +116,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "position", "image", "velocity", "mass", "charge", "typeid",
         "bond_group", "bond_typeid", "box_L", "forces",
-        "dt", "time_au", "timestep", "key",
+        "dt", "time_au", "time_comp", "timestep", "key",
         "bussi_reservoir", "bussi_reservoir_rot", "bussi_instantaneous",
         "langevin_reservoir", "mttk", "error_tolerance",
     ],
@@ -186,6 +189,7 @@ def init_state(
         forces=forces,
         dt=jnp.asarray(dt, dtype),
         time_au=jnp.zeros((), dtype),
+        time_comp=jnp.zeros((), dtype),
         timestep=jnp.zeros((), jnp.int32),
         key=master_key(seed),
         bussi_reservoir=z2,
@@ -285,12 +289,17 @@ def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None
         ke_mol = kinetic_energy(v, state.mass, mol_mask)
         ke_cav = kinetic_energy(v, state.mass, cav_mask)
 
+        # Kahan-compensated time accumulation (see MDState docstring)
+        y = dt - state.time_comp
+        t_new = state.time_au + y
+        comp_new = (t_new - state.time_au) - y
         new_state = state.replace(
             position=pos,
             image=image,
             velocity=v,
             forces=forces,
-            time_au=state.time_au + dt,
+            time_au=t_new,
+            time_comp=comp_new,
             timestep=state.timestep + 1,
             bussi_reservoir=bussi_res,
             bussi_instantaneous=bussi_inst,

@@ -126,8 +126,6 @@ class Simulation:
         if n_steps is None and runtime_ps is None:
             raise ValueError("give n_steps or runtime_ps")
         if profile_dir is not None:
-            import contextlib
-
             with jax.profiler.trace(profile_dir):
                 return self.run(n_steps=n_steps, runtime_ps=runtime_ps)
         steps_done = 0
