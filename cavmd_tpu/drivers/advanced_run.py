@@ -175,6 +175,11 @@ class CavityMDSimulation:
                 if line.strip():
                     self.log_error(line)
             return 1
+        finally:
+            # always restore the working directory — a failed replica must
+            # not strand subsequent replicas inside its job_dir
+            if hasattr(self, "original_cwd"):
+                os.chdir(self.original_cwd)
 
     def _setup_state(self):
         import jax
@@ -307,10 +312,15 @@ class CavityMDSimulation:
             extra = make_extra_obs(dipole=True, wavevectors=wv)
 
         dt0 = PC.fs_to_atomic_units(self.dt_fs if self.dt_fs else 0.1)
+        # adaptive updates fire on the energy period (reference attaches
+        # AdaptiveTimestepUpdater with trigger Periodic(energy_period),
+        # 05_advanced_run.py:851-855), not every step
+        adaptive_period = max(1, int(self.energy_output_period_ps / 0.0001))
         self.sim = Simulation(
             self.snapshot, self.ff, self.methods,
             dt=dt0, seed=self.seed,
             error_tolerance=self.error_tolerance,
+            adaptive_period=min(adaptive_period, self.chunk_size),
             chunk_size=self.chunk_size,
             extra_obs=extra,
         )
@@ -405,7 +415,6 @@ class CavityMDSimulation:
     def _cleanup(self):
         if hasattr(self, "gsd_writer"):
             self.gsd_writer.close()
-        os.chdir(self.original_cwd)
 
 
 # ---------------------------------------------------------------- replicas

@@ -102,6 +102,7 @@ class ForceField:
     # uniform cutoff of all enabled type pairs (None if they differ) —
     # enables the reduced-traffic fused cell kernel
     uniform_rcut: float = None
+    ghost_typeid: int = -1  # typeid of sharding-padding ghosts ('__ghost__')
 
     def compute(self, position, image, box_L, charge, typeid, bond_group, bond_typeid):
         """Total forces + component energies in one fused evaluation.
@@ -270,7 +271,8 @@ class ForceField:
         ewald_accuracy: float = 1e-6,
         pair_mode: str | None = None,
         custom_forces: tuple = (),
-        cell_skin: float = 1.5,
+        cell_skin: float = 0.0,  # per-step rebuild needs no skin; >0 only
+        # matters for a future periodic-rebuild policy
         cell_cap: int | None = None,
         dtype=None,
     ) -> "ForceField":
@@ -305,7 +307,7 @@ class ForceField:
         types = list(snapshot.types)
         eps, sig, rcut_t = lj_pair_tables(
             types,
-            {k: dict(**v, r_cut=v.get("r_cut", r_cut)) for k, v in lj_params.items()},
+            {k: {**v, "r_cut": v.get("r_cut", r_cut)} for k, v in lj_params.items()},
             dtype=dtype,
         )
         # pick the pair backend: dense all-pairs is faster below a few
@@ -417,6 +419,9 @@ class ForceField:
             pallas_pack=pallas_pack,
             custom_forces=tuple(custom_forces),
             uniform_rcut=uniform_rcut_val,
+            ghost_typeid=(
+                types.index("__ghost__") if "__ghost__" in types else -1
+            ),
             n_types=len(types),
         )
 
@@ -435,6 +440,6 @@ jax.tree_util.register_dataclass(
         "l_typeid", "coulomb_rcut", "pppm_order", "pppm_mesh",
         "enable_cavity", "enable_coulomb", "enable_lj", "enable_bonds",
         "pair_mode", "cell_cfg", "cell_block", "n_types", "custom_forces",
-        "uniform_rcut",
+        "uniform_rcut", "ghost_typeid",
     ],
 )

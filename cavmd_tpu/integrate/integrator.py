@@ -124,13 +124,17 @@ jax.tree_util.register_dataclass(
 )
 
 
-def group_mask(typeid, l_typeid: int, group: str):
+def group_mask(typeid, l_typeid: int, group: str, ghost_typeid: int = -1):
+    """Typed group masks; padded ghost particles (sharding, see
+    parallel/mesh.py) belong to NO group — counting them into a thermostat
+    group would inflate its DOF and skew the target temperature."""
+    not_ghost = typeid != ghost_typeid if ghost_typeid >= 0 else True
     if group == "molecular":
-        return typeid != l_typeid
+        return (typeid != l_typeid) & not_ghost
     if group == "cavity":
         return typeid == l_typeid
     if group == "all":
-        return jnp.ones_like(typeid, dtype=bool)
+        return jnp.ones_like(typeid, dtype=bool) & not_ghost
     raise ValueError(f"unknown group '{group}'")
 
 
@@ -144,14 +148,19 @@ def resolve_methods(
     """Fill in static group DOF counts (3 * N_group; the convention the
     reference energy audit uses, analysis.py:548-551)."""
     typeid = np.asarray(snapshot.typeid)
+    ghost_typeid = (
+        snapshot.types.index("__ghost__") if "__ghost__" in snapshot.types
+        else -1
+    )
+    not_ghost = typeid != ghost_typeid
     out = []
     for m in methods:
         if m.group == "molecular":
-            members = np.where(typeid != l_typeid)[0]
+            members = np.where((typeid != l_typeid) & not_ghost)[0]
         elif m.group == "cavity":
             members = np.where(typeid == l_typeid)[0]
         else:
-            members = np.arange(len(typeid))
+            members = np.where(not_ghost)[0]
         n = len(members)
         # keep static member indices for small groups so stochastic kicks
         # sample only those rows (the cavity bath touches one particle)
@@ -210,6 +219,7 @@ def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None
     rho(k), ...) computed on-device inside the same fused step.
     """
     l_typeid = ff.l_typeid
+    ghost_typeid = ff.ghost_typeid
 
     def step(state: MDState):
         dtype = state.position.dtype
@@ -222,7 +232,7 @@ def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None
 
         # ---- thermostat half 1 ----
         for i, m in enumerate(methods):
-            mask = group_mask(state.typeid, l_typeid, m.group)
+            mask = group_mask(state.typeid, l_typeid, m.group, ghost_typeid)
             slot = group_slot(m.group)
             if m.kind == "bussi":
                 key = stream_key(state.key, STREAM_BUSSI, state.timestep, i)
@@ -259,7 +269,7 @@ def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None
 
         # ---- thermostat half 2 (MTTK) + Langevin O-step ----
         for i, m in enumerate(methods):
-            mask = group_mask(state.typeid, l_typeid, m.group)
+            mask = group_mask(state.typeid, l_typeid, m.group, ghost_typeid)
             slot = group_slot(m.group)
             if m.kind == "mttk":
                 st = MTTKState(xi=mttk.xi[slot], eta=mttk.eta[slot])
@@ -284,7 +294,7 @@ def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None
                 langevin_res = langevin_res.at[slot].add(dres)
 
         # ---- bookkeeping + observables ----
-        mol_mask = group_mask(state.typeid, l_typeid, "molecular")
+        mol_mask = group_mask(state.typeid, l_typeid, "molecular", ghost_typeid)
         cav_mask = ~mol_mask
         ke_mol = kinetic_energy(v, state.mass, mol_mask)
         ke_cav = kinetic_energy(v, state.mass, cav_mask)

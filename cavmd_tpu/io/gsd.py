@@ -59,6 +59,10 @@ class GSDFile:
         self._index: list[tuple] = []  # (frame, N, location, M, id, type, flags)
         self._pending: list[tuple] = []
         self._nframes = 0
+        self._index_location = 0
+        self._index_capacity = 0
+        self._names_location = 0
+        self._names_capacity = 0
         if mode == "r" or (mode == "a" and os.path.exists(path)):
             self._f = open(path, "r+b" if mode == "a" else "rb")
             self._read_metadata()
@@ -68,7 +72,7 @@ class GSDFile:
             self.schema = schema
             self.schema_version = (schema_version[0] << 16) | schema_version[1]
             self._f.write(b"\0" * HEADER_SIZE)
-            self._write_metadata()
+            self._allocate_regions(index_capacity=256, names_capacity=64)
         else:
             raise ValueError(f"bad mode {mode}")
 
@@ -80,6 +84,10 @@ class GSDFile:
          gsd_version, app, schema, _res) = struct.unpack(HEADER_FMT, raw)
         if magic != MAGIC:
             raise ValueError(f"{self.path}: not a GSD file (bad magic)")
+        self._index_location = index_loc
+        self._index_capacity = index_n
+        self._names_location = name_loc
+        self._names_capacity = name_n
         self.application = app.rstrip(b"\0").decode()
         self.schema = schema.rstrip(b"\0").decode()
         self.schema_version = schema_version
@@ -100,30 +108,71 @@ class GSDFile:
                 self._index.append(entry)
         self._nframes = (max(e[0] for e in self._index) + 1) if self._index else 0
 
-    def _write_metadata(self):
-        """Rewrite namelist + index + header at the current end of file."""
-        f = self._f
-        f.seek(0, os.SEEK_END)
-        index_loc = f.tell()
-        index_n = max(len(self._index), 1)
-        for e in sorted(self._index, key=lambda e: (e[0], e[4])):
-            f.write(struct.pack(INDEX_FMT, *e))
-        if not self._index:
-            f.write(b"\0" * INDEX_SIZE)
-        name_loc = f.tell()
-        name_n = max(len(self._names), 1)
-        for n in self._names:
-            f.write(n.encode().ljust(NAME_SIZE, b"\0")[:NAME_SIZE])
-        if not self._names:
-            f.write(b"\0" * NAME_SIZE)
+    def _write_header(self):
         header = struct.pack(
-            HEADER_FMT, MAGIC, index_loc, index_n, name_loc, name_n,
+            HEADER_FMT, MAGIC, self._index_location, self._index_capacity,
+            self._names_location, self._names_capacity,
             self.schema_version, GSD_VERSION,
             self.application.encode()[:64].ljust(64, b"\0"),
             self.schema.encode()[:64].ljust(64, b"\0"), b"\0" * 80,
         )
-        f.seek(0)
-        f.write(header)
+        self._f.seek(0)
+        self._f.write(header)
+        self._f.flush()
+
+    def _allocate_regions(self, index_capacity, names_capacity):
+        """Reserve zero-filled index and namelist regions at EOF.
+
+        Entries are later written *in place* (the index grows append-only:
+        sorted by (frame, id) with monotonically increasing frames), so
+        metadata cost is O(frames), not O(frames^2). Readers skip the
+        zero-filled slack (location == 0 / empty name).
+        """
+        f = self._f
+        f.seek(0, os.SEEK_END)
+        self._index_location = f.tell()
+        self._index_capacity = index_capacity
+        f.write(b"\0" * (INDEX_SIZE * index_capacity))
+        self._names_location = f.tell()
+        self._names_capacity = names_capacity
+        f.write(b"\0" * (NAME_SIZE * names_capacity))
+        # write any existing entries into the fresh regions
+        f.seek(self._index_location)
+        for e in sorted(self._index, key=lambda e: (e[0], e[4])):
+            f.write(struct.pack(INDEX_FMT, *e))
+        f.seek(self._names_location)
+        for n in self._names:
+            f.write(n.encode().ljust(NAME_SIZE, b"\0")[:NAME_SIZE])
+        self._write_header()
+
+    def _write_metadata(self):
+        """Persist new index entries / names, growing regions as needed.
+
+        The index is kept sorted by (frame, id): frames only grow, and each
+        frame's entries are sorted by id before appending, so new entries
+        always extend the tail — written in place, O(entries/frame) each.
+        """
+        if (
+            len(self._index) > self._index_capacity
+            or len(self._names) > self._names_capacity
+        ):
+            self._allocate_regions(
+                index_capacity=max(self._index_capacity * 2, len(self._index)),
+                names_capacity=max(self._names_capacity * 2, len(self._names)),
+            )
+            self._meta_written = (len(self._index), len(self._names))
+            return
+        f = self._f
+        idx_written, names_written = getattr(
+            self, "_meta_written", (0, 0)
+        )
+        f.seek(self._index_location + idx_written * INDEX_SIZE)
+        for e in self._index[idx_written:]:
+            f.write(struct.pack(INDEX_FMT, *e))
+        f.seek(self._names_location + names_written * NAME_SIZE)
+        for n in self._names[names_written:]:
+            f.write(n.encode().ljust(NAME_SIZE, b"\0")[:NAME_SIZE])
+        self._meta_written = (len(self._index), len(self._names))
         f.flush()
 
     # ------------------------------------------------------------------- api
@@ -152,7 +201,9 @@ class GSDFile:
         ))
 
     def end_frame(self):
-        self._index.extend(self._pending)
+        # keep (frame, id) global ordering: frames grow monotonically and
+        # each frame's entries are id-sorted
+        self._index.extend(sorted(self._pending, key=lambda e: e[4]))
         self._pending = []
         self._nframes += 1
         self._write_metadata()

@@ -25,11 +25,13 @@ class ThermodynamicQuantities:
     def _mask(self):
         typeid = np.asarray(self.sim.state.typeid)
         l_typeid = self.sim.ff.l_typeid
+        ghost = getattr(self.sim.ff, "ghost_typeid", -1)
+        not_ghost = typeid != ghost if ghost >= 0 else np.ones_like(typeid, bool)
         if self.group == "molecular":
-            return typeid != l_typeid
+            return (typeid != l_typeid) & not_ghost
         if self.group == "cavity":
             return typeid == l_typeid
-        return np.ones_like(typeid, bool)
+        return not_ghost
 
     @property
     def num_particles(self) -> int:

@@ -38,11 +38,16 @@ def auto_kappa(r_cut, accuracy=1e-6):
     Picks kappa such that erfc(kappa * r_cut) ~ accuracy, the standard
     heuristic (HOOMD tunes kappa from an error estimate; the workflow's
     numbers r_cut=15, 32^3 mesh resolve the resulting reciprocal tail).
+    Host-side; uses a bisection on math.erfc (no scipy dependency).
     """
-    import numpy as np
-    from scipy.special import erfcinv  # host-side, setup only
-
-    return float(erfcinv(accuracy)) / float(r_cut)
+    lo, hi = 0.0, 30.0
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        if math.erfc(mid) > accuracy:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi) / float(r_cut)
 
 
 def ewald_real_space(

@@ -72,11 +72,18 @@ class CellList(NamedTuple):
 
 
 def neighbor_cell_table(ncells) -> np.ndarray:
-    """(C, 27) table of wrapped neighbor-cell linear ids (host-side)."""
+    """(C, 27) table of wrapped neighbor-cell linear ids (host-side).
+
+    When a dimension has fewer than 3 cells, distinct offsets wrap onto the
+    same cell; duplicates are replaced by the sentinel id C (a phantom
+    always-empty cell) so pairs are never double-counted.
+    ``cell_pair_force`` pads its bucketed arrays with that empty row.
+    """
     cx, cy, cz = ncells
-    ids = np.arange(cx * cy * cz)
+    total = cx * cy * cz
+    ids = np.arange(total)
     x, y, z = ids // (cy * cz), (ids // cz) % cy, ids % cz
-    out = np.empty((len(ids), 27), dtype=np.int32)
+    out = np.empty((total, 27), dtype=np.int32)
     k = 0
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
@@ -85,6 +92,14 @@ def neighbor_cell_table(ncells) -> np.ndarray:
                     ((x + dx) % cx) * cy + (y + dy) % cy
                 ) * cz + (z + dz) % cz
                 k += 1
+    # dedup per row: keep the first occurrence, sentinel out the rest
+    for row in out:
+        seen = set()
+        for k in range(27):
+            if row[k] in seen:
+                row[k] = total
+            else:
+                seen.add(row[k])
     return out
 
 
@@ -173,14 +188,25 @@ def cell_pair_force(
     pos_b = pos_pad[idx_b]  # (C, cap, 3) — one gather per particle
     feat_b = features[idx_b] if features is not None else None
     excl_b = exclusions[idx_b] if exclusions is not None else None
-    jc = clist.neighbor_cells  # (C, 27)
+    jc = clist.neighbor_cells  # (C, 27) — may contain the sentinel id C
     zero = jnp.zeros((), dtype)
+
+    # phantom always-empty cell row C (deduped neighbor slots point here)
+    idx_b_x = jnp.concatenate(
+        [idx_b, jnp.full((1, cap), n, jnp.int32)]
+    )
+    pos_b_x = jnp.concatenate([pos_b, jnp.broadcast_to(far, (1, cap, 3))])
+    feat_b_x = (
+        jnp.concatenate([feat_b, jnp.zeros((1, cap, feat_b.shape[-1]),
+                                           feat_b.dtype)])
+        if feat_b is not None else None
+    )
 
     def block(idx_blk, pos_blk, feat_blk, excl_blk, jc_blk):
         """Pair tiles for a block of cells -> (f (B,cap,3), energy)."""
         b = idx_blk.shape[0]
-        pos_j = pos_b[jc_blk].reshape(b, 27 * cap, 3)  # whole-cell granules
-        id_j = idx_b[jc_blk].reshape(b, 27 * cap)
+        pos_j = pos_b_x[jc_blk].reshape(b, 27 * cap, 3)  # whole-cell granules
+        id_j = idx_b_x[jc_blk].reshape(b, 27 * cap)
 
         dr = minimum_image(
             pos_blk[:, :, None, :] - pos_j[:, None, :, :], box_L
@@ -200,8 +226,8 @@ def cell_pair_force(
             active = active & ~is_excl
 
         feat_j = (
-            feat_b[jc_blk].reshape(b, 27 * cap, -1)
-            if feat_b is not None else None
+            feat_b_x[jc_blk].reshape(b, 27 * cap, -1)
+            if feat_b_x is not None else None
         )
         r2_safe = jnp.where(active, r2, jnp.ones((), dtype))
         e_pair, f_over_r = pair_kernel(r2_safe, active, feat_blk, feat_j)

@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <algorithm>
 #include <string>
 #include <vector>
 
@@ -63,6 +64,15 @@ struct GsdWriter {
   uint32_t schema_version = (1u << 16) | 4u;  // hoomd 1.4
   std::string application = "cavmd_tpu";
   std::string schema = "hoomd";
+  // preallocated metadata regions, written in place (O(frames) total cost;
+  // the index stays (frame, id)-sorted because frames grow monotonically
+  // and each frame's entries are id-sorted before appending)
+  long index_location = 0;
+  size_t index_capacity = 0;
+  long names_location = 0;
+  size_t names_capacity = 0;
+  size_t index_written = 0;
+  size_t names_written = 0;
 
   int name_id(const char* name) {
     for (size_t i = 0; i < names.size(); ++i)
@@ -71,41 +81,69 @@ struct GsdWriter {
     return static_cast<int>(names.size() - 1);
   }
 
-  void write_metadata() {
-    fseek(f, 0, SEEK_END);
-    long index_loc = ftell(f);
-    size_t index_n = index.empty() ? 1 : index.size();
-    if (index.empty()) {
-      IndexEntry zero{};
-      fwrite(&zero, sizeof(zero), 1, f);
-    } else {
-      fwrite(index.data(), sizeof(IndexEntry), index.size(), f);
-    }
-    long name_loc = ftell(f);
-    size_t name_n = names.empty() ? 1 : names.size();
-    char buf[kNameSize];
-    if (names.empty()) {
-      memset(buf, 0, kNameSize);
-      fwrite(buf, 1, kNameSize, f);
-    } else {
-      for (auto& n : names) {
-        memset(buf, 0, kNameSize);
-        strncpy(buf, n.c_str(), kNameSize - 1);
-        fwrite(buf, 1, kNameSize, f);
-      }
-    }
+  void write_header() {
     Header h{};
     h.magic = kMagic;
-    h.index_location = static_cast<uint64_t>(index_loc);
-    h.index_allocated_entries = index_n;
-    h.namelist_location = static_cast<uint64_t>(name_loc);
-    h.namelist_allocated_entries = name_n;
+    h.index_location = static_cast<uint64_t>(index_location);
+    h.index_allocated_entries = index_capacity;
+    h.namelist_location = static_cast<uint64_t>(names_location);
+    h.namelist_allocated_entries = names_capacity;
     h.schema_version = schema_version;
     h.gsd_version = kGsdVersion;
     strncpy(h.application, application.c_str(), sizeof(h.application) - 1);
     strncpy(h.schema, schema.c_str(), sizeof(h.schema) - 1);
     fseek(f, 0, SEEK_SET);
     fwrite(&h, sizeof(h), 1, f);
+    fflush(f);
+  }
+
+  void allocate_regions(size_t icap, size_t ncap) {
+    fseek(f, 0, SEEK_END);
+    index_location = ftell(f);
+    index_capacity = icap;
+    std::vector<char> zeros(sizeof(IndexEntry) * icap, 0);
+    fwrite(zeros.data(), 1, zeros.size(), f);
+    names_location = ftell(f);
+    names_capacity = ncap;
+    std::vector<char> nzeros(kNameSize * ncap, 0);
+    fwrite(nzeros.data(), 1, nzeros.size(), f);
+    // refill with existing entries
+    fseek(f, index_location, SEEK_SET);
+    if (!index.empty())
+      fwrite(index.data(), sizeof(IndexEntry), index.size(), f);
+    fseek(f, names_location, SEEK_SET);
+    char buf[kNameSize];
+    for (auto& n : names) {
+      memset(buf, 0, kNameSize);
+      strncpy(buf, n.c_str(), kNameSize - 1);
+      fwrite(buf, 1, kNameSize, f);
+    }
+    index_written = index.size();
+    names_written = names.size();
+    write_header();
+  }
+
+  void write_metadata() {
+    if (index.size() > index_capacity || names.size() > names_capacity) {
+      size_t icap = std::max(index_capacity * 2, index.size());
+      size_t ncap = std::max(names_capacity * 2, names.size());
+      allocate_regions(icap, ncap);
+      return;
+    }
+    fseek(f, index_location + static_cast<long>(index_written * sizeof(IndexEntry)),
+          SEEK_SET);
+    fwrite(index.data() + index_written, sizeof(IndexEntry),
+           index.size() - index_written, f);
+    index_written = index.size();
+    fseek(f, names_location + static_cast<long>(names_written * kNameSize),
+          SEEK_SET);
+    char buf[kNameSize];
+    for (size_t i = names_written; i < names.size(); ++i) {
+      memset(buf, 0, kNameSize);
+      strncpy(buf, names[i].c_str(), kNameSize - 1);
+      fwrite(buf, 1, kNameSize, f);
+    }
+    names_written = names.size();
     fflush(f);
   }
 };
@@ -128,7 +166,7 @@ void* cavmd_gsd_open(const char* path, const char* application,
   if (schema_version) w->schema_version = schema_version;
   char zeros[sizeof(Header)] = {0};
   fwrite(zeros, 1, sizeof(zeros), w->f);
-  w->write_metadata();
+  w->allocate_regions(256, 64);
   return w;
 }
 
@@ -157,6 +195,8 @@ int cavmd_gsd_write_chunk(void* handle, const char* name, const void* data,
 int cavmd_gsd_end_frame(void* handle) {
   auto* w = static_cast<GsdWriter*>(handle);
   if (!w) return -1;
+  std::sort(w->pending.begin(), w->pending.end(),
+            [](const IndexEntry& a, const IndexEntry& b) { return a.id < b.id; });
   w->index.insert(w->index.end(), w->pending.begin(), w->pending.end());
   w->pending.clear();
   w->nframes += 1;

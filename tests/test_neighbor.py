@@ -135,3 +135,25 @@ def test_forcefield_cell_mode_matches_dense():
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-11)
     for k in e1:
         assert float(e1[k]) == pytest.approx(float(e2[k]), rel=1e-10, abs=1e-13)
+
+
+def test_small_cell_grid_no_double_count():
+    """Regression (review finding): with < 3 cells per dimension, wrapped
+    neighbor offsets collide; duplicates must be deduped, not double-counted."""
+    from cavmd_tpu.integrate import ForceField
+
+    snap = make_diatomic_system(60, box_L=34.0, seed=123)  # ncells = 2 per dim
+    kw = dict(r_cut=15.0, pppm_mesh=(16, 16, 16), enable_cavity=False)
+    ff_dense = ForceField.create(snap, pair_mode="dense", **kw)
+    ff_cell = ForceField.create(snap, pair_mode="cell", **kw)
+    from cavmd_tpu.ops.neighbor import CellListConfig
+
+    assert min(CellListConfig(*ff_cell.cell_cfg).ncells) < 3
+    args = (snap.position, snap.image, snap.box_L, snap.charge, snap.typeid,
+            snap.bond_group, snap.bond_typeid)
+    f1, e1 = ff_dense.compute(*args)
+    f2, e2 = ff_cell.compute(*args)
+    assert float(e1["lj"]) == pytest.approx(float(e2["lj"]), rel=1e-10)
+    assert float(e1["ewald_short"]) == pytest.approx(
+        float(e2["ewald_short"]), rel=1e-10)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-11)

@@ -175,3 +175,31 @@ def test_sharded_cell_mode():
         np.asarray(sh_final.position), np.asarray(ref_final.position),
         rtol=1e-10, atol=1e-10,
     )
+
+
+def test_ghost_padding_excluded_from_groups():
+    """Regression (review finding): padded ghosts must not count toward
+    thermostat group DOF or appear in group masks."""
+    from cavmd_tpu.integrate.integrator import group_mask
+
+    snap = make_diatomic_system(10, box_L=20.0, seed=71)
+    snap = add_cavity_particle(
+        snap, coupling=1e-3, freq_cm1=2000.0, temperature_K=100.0, seed=72
+    )
+    snap, pad = pad_snapshot_to(snap, 8)  # 21 -> 24: 3 ghosts
+    assert pad == 3
+    ff = ForceField.create(snap, coupling=1e-3, pppm_mesh=(8, 8, 8), r_cut=8.0)
+    assert ff.ghost_typeid == snap.types.index("__ghost__")
+
+    methods = resolve_methods(
+        snap, (MethodSpec(kind="bussi", group="molecular", kT=1e-4, tau=1.0),),
+        ff.l_typeid,
+    )
+    assert methods[0].dof == 3.0 * 20  # 20 real molecular atoms, not 23
+
+    mask = np.asarray(group_mask(snap.typeid, ff.l_typeid, "molecular",
+                                 ff.ghost_typeid))
+    assert mask.sum() == 20
+    mask_all = np.asarray(group_mask(snap.typeid, ff.l_typeid, "all",
+                                     ff.ghost_typeid))
+    assert mask_all.sum() == 21  # molecular + photon, no ghosts
