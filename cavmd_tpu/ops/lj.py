@@ -210,9 +210,20 @@ def fused_pair_force(
     from jax.scipy.special import erfc
 
     dtype = position.dtype
-    dr = minimum_image(position[:, None, :] - position[None, :, :], box_L)
-    r2 = jnp.sum(dr * dr, axis=-1)
     zero = jnp.zeros((), dtype)
+    box = jnp.asarray(box_L, dtype)
+
+    # component-wise pairwise displacements: every array stays (N, N) so the
+    # TPU lane dimension is N, not 3 — an (N, N, 3) displacement tensor puts
+    # 3 in the 128-wide lane dim (measured ~1.5x slower, worse under vmap)
+    dxs = []
+    r2 = None
+    for d in range(3):
+        x = position[:, d]
+        dx = x[:, None] - x[None, :]
+        dx = dx - box[d] * jnp.round(dx / box[d])
+        dxs.append(dx)
+        r2 = dx * dx if r2 is None else r2 + dx * dx
 
     # --- LJ ---
     lj_active = pair.active & (r2 < pair.rcut2)
@@ -240,7 +251,10 @@ def fused_pair_force(
         zero,
     )
 
-    forces = jnp.sum((f_lj + f_ew)[:, :, None] * dr, axis=1)
+    f_total = f_lj + f_ew
+    forces = jnp.stack(
+        [jnp.sum(f_total * dxs[d], axis=1) for d in range(3)], axis=1
+    )
     return forces, e_lj, e_ew
 
 
