@@ -173,10 +173,24 @@ jax.tree_util.register_pytree_node(
 
 
 def lj_dense_pair(position, box_L, pair: LJPairMatrices):
-    """All-pairs shifted LJ with precomputed pair matrices (the hot path)."""
+    """All-pairs shifted LJ with precomputed pair matrices (the hot path).
+
+    Pairwise arrays are kept component-wise ((N, N) each, lanes = N): a
+    trailing xyz dim of 3 lands in the 128-wide lane dimension, and under
+    vmap triggers a batch-size-independent ~95 us relayout (measured v5e).
+    """
     dtype = position.dtype
-    dr = minimum_image(position[:, None, :] - position[None, :, :], box_L)
-    r2 = jnp.sum(dr * dr, axis=-1)
+    zero = jnp.zeros((), dtype)
+    box = jnp.asarray(box_L, dtype)
+
+    dxs = []
+    r2 = None
+    for d in range(3):
+        x = position[..., d]
+        dx = x[..., :, None] - x[..., None, :]
+        dx = dx - box[d] * jnp.round(dx / box[d])
+        dxs.append(dx)
+        r2 = dx * dx if r2 is None else r2 + dx * dx
 
     active = pair.active & (r2 < pair.rcut2)
     r2_safe = jnp.where(active, r2, jnp.ones((), dtype))
@@ -184,14 +198,15 @@ def lj_dense_pair(position, box_L, pair: LJPairMatrices):
     s6 = inv_r2 * inv_r2 * inv_r2
     s12 = s6 * s6
 
-    zero = jnp.zeros((), dtype)
     v = jnp.where(active, 4.0 * pair.eps * (s12 - s6) - pair.vshift, zero)
     energy = 0.5 * jnp.sum(v)
 
     fscalar = jnp.where(
         active, 24.0 * pair.eps * (2.0 * s12 - s6) / r2_safe, zero
     )
-    forces = jnp.sum(fscalar[:, :, None] * dr, axis=1)
+    forces = jnp.stack(
+        [jnp.sum(fscalar * dxs[d], axis=-1) for d in range(3)], axis=-1
+    )
     return forces, energy
 
 
