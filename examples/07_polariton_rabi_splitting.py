@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Polariton physics validation: vacuum Rabi splitting of a single molecular
+vibration resonantly coupled to the cavity mode.
+
+This is the phenomenon the whole framework exists to simulate (vibrational
+strong coupling): at resonance the photon and the molecular vibration
+hybridize into upper/lower polaritons split by
+
+    Omega_R ~ g q_c / (sqrt(mu m_ph) * omega)
+
+The script runs one O-O 'molecule' (partial charges +-q) resonant with the
+cavity in NVE, FFTs the photon trajectory, and reports the two polariton
+peaks against the analytic splitting. With g=0 the spectrum collapses to a
+single line at the bare frequency.
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import jax.numpy as jnp
+
+from cavmd_tpu.core import PhysicalConstants as PC
+from cavmd_tpu.core.snapshot import Snapshot, add_cavity_particle
+from cavmd_tpu.integrate import (
+    ForceField,
+    MethodSpec,
+    init_state,
+    make_step_fn,
+    resolve_methods,
+    run_steps,
+)
+
+M_O = 15.999 * 1822.888486
+K_BOND = 2 * 0.36602
+R0 = 2.281655158
+
+
+def photon_spectrum_peaks(g, q_charge=0.35, n_periods=800, threshold=0.1):
+    """Run the resonant one-molecule system; return photon spectral peaks
+    (cm^-1) above ``threshold`` of the max."""
+    mu = M_O / 2
+    omega_mol = np.sqrt(K_BOND / mu)
+    freq_cm1 = omega_mol * PC.HARTREE_TO_CM_MINUS1
+
+    pos = np.array([[-R0 / 2, 0, 0], [R0 / 2, 0, 0]])
+    snap = Snapshot.create(
+        position=pos, box_L=[60.0, 60.0, 60.0], mass=[M_O, M_O],
+        charge=[q_charge, -q_charge], typeid=[0, 0], types=("O", "N"),
+        bond_group=[[0, 1]], bond_typeid=[0], bond_types=("O-O",),
+    )
+    snap = add_cavity_particle(
+        snap, coupling=0.0, freq_cm1=freq_cm1, temperature_K=10.0, seed=1
+    )
+
+    # photon at its finite-q equilibrium for the static bond dipole, then a
+    # small kick (large offsets drive the |r| bond nonlinearity)
+    p = np.array(snap.position)
+    d_static = q_charge * p[0, 0] - q_charge * p[1, 0]
+    K = omega_mol**2
+    p[-1] = [-g * d_static / K + 0.02, 0.0, 0.0]
+    p[1, 0] += 0.005
+    snap = snap.replace(position=jnp.asarray(p))
+
+    ff = ForceField.create(
+        snap, coupling=g, freq_cm1=freq_cm1,
+        enable_coulomb=False, enable_lj=False,
+    )
+    methods = resolve_methods(
+        snap, (MethodSpec(kind="nve", group="all"),), ff.l_typeid
+    )
+    step = jax.jit(make_step_fn(ff, methods))
+
+    dt = (2 * np.pi / omega_mol) / 80
+    n = 80 * n_periods
+    state = init_state(snap, ff, dt=dt, seed=0)
+
+    def step_q(st):
+        ns, obs = step(st)
+        obs["qx"] = ns.position[-1, 0]
+        return ns, obs
+
+    _, obs = run_steps(step_q, state, n)
+    qx = np.asarray(obs["qx"])
+    spec = np.abs(np.fft.rfft((qx - qx.mean()) * np.hanning(n)))
+    freqs = (
+        2 * np.pi * np.fft.rfftfreq(n, d=float(dt)) * PC.HARTREE_TO_CM_MINUS1
+    )
+
+    mask = spec > threshold * spec.max()
+    peaks, i = [], 0
+    while i < len(mask):
+        if mask[i]:
+            j = i
+            while j < len(mask) and mask[j]:
+                j += 1
+            seg = slice(i, j)
+            peaks.append(float(freqs[seg][np.argmax(spec[seg])]))
+            i = j
+        else:
+            i += 1
+    return peaks, omega_mol, freq_cm1
+
+
+def main():
+    g = 1e-3
+    q_c = 0.35
+    peaks0, omega, f_cm1 = photon_spectrum_peaks(0.0)
+    peaks, _, _ = photon_spectrum_peaks(g)
+    mu = M_O / 2
+    rabi_analytic = (g * q_c / np.sqrt(mu) / omega) * PC.HARTREE_TO_CM_MINUS1
+    print(f"bare resonance: {f_cm1:.1f} cm^-1")
+    print(f"g = 0      -> peaks {peaks0}")
+    print(f"g = {g}    -> peaks {peaks}")
+    if len(peaks) == 2:
+        print(f"Rabi splitting: {peaks[1] - peaks[0]:.1f} cm^-1 "
+              f"(analytic ~{rabi_analytic:.1f})")
+
+
+if __name__ == "__main__":
+    main()

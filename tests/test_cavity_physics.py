@@ -130,3 +130,34 @@ def test_coupling_exchanges_energy():
     assert np.ptp(e_free) < 1e-6
     # coupled: energy genuinely exchanged
     assert np.ptp(e_coupled) > 100 * max(np.ptp(e_free), 1e-12)
+
+
+@pytest.mark.slow
+def test_vacuum_rabi_splitting():
+    """The headline physics: a molecular vibration resonant with the cavity
+    splits into two polaritons; the splitting matches the analytic
+    Omega_R = g q_c / (sqrt(mu m_ph) omega) and closes at g=0."""
+    import os
+    import importlib.util
+
+    spec_path = os.path.join(
+        os.path.dirname(__file__), "..", "examples",
+        "07_polariton_rabi_splitting.py",
+    )
+    spec = importlib.util.spec_from_file_location("rabi_demo", spec_path)
+    rabi = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rabi)
+
+    g, q_c = 1e-3, 0.35
+    peaks0, omega, f_cm1 = rabi.photon_spectrum_peaks(0.0, n_periods=400)
+    assert len(peaks0) == 1
+    assert peaks0[0] == pytest.approx(f_cm1, rel=0.01)
+
+    peaks, _, _ = rabi.photon_spectrum_peaks(g, n_periods=400)
+    assert len(peaks) == 2, peaks
+    mu = rabi.M_O / 2
+    analytic = (g * q_c / (mu ** 0.5) / omega) * 219474.63
+    measured = peaks[1] - peaks[0]
+    assert measured == pytest.approx(analytic, rel=0.15)
+    # peaks straddle the bare resonance
+    assert peaks[0] < f_cm1 < peaks[1]
