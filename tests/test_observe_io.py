@@ -218,3 +218,37 @@ def test_full_state_checkpoint_exact_resume(sim, tmp_path):
     sim.run(n_steps=100)
     np.testing.assert_array_equal(np.asarray(sim.state.position), final_live)
     np.testing.assert_array_equal(np.asarray(sim.state.bussi_reservoir), res_live)
+
+
+def test_gsd_region_relocation(tmp_path):
+    """Index-region growth: writing more frames than the initial 256-entry
+    allocation forces a relocation; the file stays readable throughout."""
+    from cavmd_tpu.io.gsd import GSDFile
+
+    path = str(tmp_path / "grow.gsd")
+    f = GSDFile(path, "w")
+    # 14 chunks/frame x 30 frames = 420 entries > 256 initial capacity
+    for frame in range(30):
+        f.begin_frame()
+        for c in range(14):
+            f.write_chunk(f"chunk/{c}", np.full((4,), frame * 100 + c, np.float64))
+        f.end_frame()
+    f.close()
+
+    r = GSDFile(path, "r")
+    assert r.nframes == 30
+    for frame in (0, 10, 29):
+        for c in (0, 13):
+            v = r.read_chunk(frame, f"chunk/{c}")
+            np.testing.assert_array_equal(v, np.full((4,), frame * 100 + c))
+    r.close()
+
+
+def test_exclusion_capacity_error():
+    from cavmd_tpu.ops.neighbor import exclusion_table
+
+    bonds = [[0, 1], [0, 2], [0, 3], [0, 4], [0, 5]]  # particle 0: 5 partners
+    with pytest.raises(ValueError, match="exclusion capacity"):
+        exclusion_table(6, np.asarray(bonds), max_excl=4)
+    table = exclusion_table(6, np.asarray(bonds), max_excl=5)
+    assert set(table[0][:5]) == {1, 2, 3, 4, 5}
