@@ -209,20 +209,26 @@ def pppm_reciprocal_energy(position, charge, box_L, params: PPPMParams, order: i
     # v5e (overhead-dominated at this size, measured); three axis
     # contractions with (K,K) DFT matrices are ~25 MFLOP on the MXU —
     # microseconds — and differentiate as plain matmuls.
-    re, im = grid, jnp.zeros_like(grid)
+    re, im = grid, None  # the charge grid is real: axis 0 needs 2 matmuls
     for axis in range(3):
         wr, wi = params.dft_re[axis], params.dft_im[axis]
         other = tuple(mesh[i] for i in range(3) if i != axis)
         re_m = jnp.moveaxis(re, axis, 0).reshape(mesh[axis], -1)
-        im_m = jnp.moveaxis(im, axis, 0).reshape(mesh[axis], -1)
-        new_re = (
-            jnp.dot(wr, re_m, precision=hp, preferred_element_type=dtype)
-            - jnp.dot(wi, im_m, precision=hp, preferred_element_type=dtype)
-        )
-        new_im = (
-            jnp.dot(wr, im_m, precision=hp, preferred_element_type=dtype)
-            + jnp.dot(wi, re_m, precision=hp, preferred_element_type=dtype)
-        )
+        if im is None:
+            new_re = jnp.dot(wr, re_m, precision=hp,
+                             preferred_element_type=dtype)
+            new_im = jnp.dot(wi, re_m, precision=hp,
+                             preferred_element_type=dtype)
+        else:
+            im_m = jnp.moveaxis(im, axis, 0).reshape(mesh[axis], -1)
+            new_re = (
+                jnp.dot(wr, re_m, precision=hp, preferred_element_type=dtype)
+                - jnp.dot(wi, im_m, precision=hp, preferred_element_type=dtype)
+            )
+            new_im = (
+                jnp.dot(wr, im_m, precision=hp, preferred_element_type=dtype)
+                + jnp.dot(wi, re_m, precision=hp, preferred_element_type=dtype)
+            )
         re = jnp.moveaxis(new_re.reshape(mesh[axis], *other), 0, axis)
         im = jnp.moveaxis(new_im.reshape(mesh[axis], *other), 0, axis)
 
