@@ -220,6 +220,7 @@ class AutocorrelationTracker(BaseTracker):
         self.key = key
         self.new_reference_every = new_reference_every
         self.reference_value = None
+        self.reference_step = 0
         self.output_file_number = 0
         self.current_autocorr = 0.0
 
@@ -242,6 +243,7 @@ class AutocorrelationTracker(BaseTracker):
         for i in range(len(ts)):
             if self.reference_value is None:
                 self.reference_value = vals[i]
+                self.reference_step = int(ts[i])
                 c0 = float(vals[i] @ vals[i])
                 self.current_autocorr = c0
                 self._write_header(int(ts[i]), t_ps[i], c0)
@@ -251,9 +253,14 @@ class AutocorrelationTracker(BaseTracker):
             if ts[i] - self.last_output_step >= self.output_period_steps:
                 lines.append((self._path(), f"{int(ts[i])} {t_ps[i]:.6f} {c:.6f}\n"))
                 self.last_output_step = int(ts[i])
-                if ts[i] % self.new_reference_every == 0:
+                # Rotate on elapsed steps since the last reference (the
+                # reference rotates on counter >= threshold,
+                # analysis.py:213-222); an exact-modulo check would never
+                # fire when the output period doesn't divide the interval.
+                if ts[i] - self.reference_step >= self.new_reference_every:
                     self.output_file_number += 1
                     self.reference_value = vals[i]
+                    self.reference_step = int(ts[i])
                     c0 = float(vals[i] @ vals[i])
                     self._write_header(int(ts[i]), t_ps[i], c0)
         # group writes per file

@@ -136,7 +136,21 @@ class Simulation:
                     break
                 chunk = min(self.chunk_size, remaining)
             else:
-                chunk = self.chunk_size
+                # Trim the final chunk so the run stops within one step of
+                # runtime_ps (the reference stops exactly,
+                # analysis.py:1256-1259). Estimate remaining steps from the
+                # current dt; with adaptive dt the estimate is refreshed
+                # every chunk, so any residual is cleaned up by a short
+                # follow-up chunk.
+                remaining_ps = runtime_ps - (
+                    float(self.state.time_au)
+                    * PhysicalConstants.TIME_PS_CONVERSION
+                )
+                if remaining_ps <= 0:
+                    break
+                dt_ps = float(self.state.dt) * PhysicalConstants.TIME_PS_CONVERSION
+                est = int(np.ceil(remaining_ps / max(dt_ps, 1e-30)))
+                chunk = min(self.chunk_size, max(1, est))
             self.state, obs = self._run_chunk(self.state, chunk)
             obs_np = {k: np.asarray(v) for k, v in obs.items()}
             if "cell_overflow" in obs_np and obs_np["cell_overflow"].any():

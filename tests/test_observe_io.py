@@ -134,8 +134,32 @@ def test_runtime_termination(sim):
     sim.trackers.append(elapsed)
     sim.run(runtime_ps=0.01)
     assert sim.elapsed_ps >= 0.01
-    # chunked termination: overshoot bounded by one chunk
-    assert sim.timestep <= 100 * (int(0.01 / (sim.elapsed_ps / sim.timestep) / 100) + 1)
+    # exact termination: the final chunk is trimmed from the dt estimate, so
+    # the run stops within one step of runtime_ps (fixed dt here)
+    dt_ps = float(sim.state.dt) * PC.TIME_PS_CONVERSION
+    assert sim.elapsed_ps < 0.01 + 2 * dt_ps
+
+
+def test_autocorr_rotation_non_divisor_period(tmp_path, monkeypatch):
+    """Regression: reference rotation must fire on elapsed steps, not an
+    exact modulo — with an output period that doesn't divide the rotation
+    interval the old modulo check never rotated."""
+    monkeypatch.chdir(tmp_path)
+    tr = DipoleAutocorrelation(output_period_steps=30)
+    tr.new_reference_every = 100
+    rng = np.random.default_rng(0)
+    for start in range(0, 400, 100):
+        ts = np.arange(start, start + 100, 10)
+        obs = {
+            "timestep": ts,
+            "time_au": ts * 10.0,
+            "dipole": rng.normal(size=(len(ts), 3)),
+        }
+        tr.consume(obs)
+    # 390 steps with a 100-step interval -> at least 3 rotations
+    assert tr.output_file_number >= 3
+    assert os.path.exists("dipole_autocorr_0.txt")
+    assert os.path.exists(f"dipole_autocorr_{tr.output_file_number}.txt")
 
 
 def test_gsd_roundtrip(tmp_path):
