@@ -57,6 +57,7 @@ class GSDFile:
         self._names: list[str] = []
         self._name_to_id: dict[str, int] = {}
         self._index: list[tuple] = []  # (frame, N, location, M, id, type, flags)
+        self._lookup: dict[tuple, tuple] = {}  # (frame, name_id) -> entry
         self._pending: list[tuple] = []
         self._nframes = 0
         self._index_location = 0
@@ -106,6 +107,9 @@ class GSDFile:
             entry = struct.unpack_from(INDEX_FMT, idx_raw, i * INDEX_SIZE)
             if entry[2] != 0:  # location 0 = unused slot
                 self._index.append(entry)
+        # O(1) chunk lookup keyed by (frame, name_id) — a linear index scan
+        # per read is O(frames^2 * chunks) over a long trajectory
+        self._lookup = {(e[0], e[4]): e for e in self._index}
         self._nframes = (max(e[0] for e in self._index) + 1) if self._index else 0
 
     def _write_header(self):
@@ -203,7 +207,9 @@ class GSDFile:
     def end_frame(self):
         # keep (frame, id) global ordering: frames grow monotonically and
         # each frame's entries are id-sorted
-        self._index.extend(sorted(self._pending, key=lambda e: e[4]))
+        new = sorted(self._pending, key=lambda e: e[4])
+        self._index.extend(new)
+        self._lookup.update({(e[0], e[4]): e for e in new})
         self._pending = []
         self._nframes += 1
         self._write_metadata()
@@ -213,23 +219,21 @@ class GSDFile:
 
     def chunk_exists(self, frame: int, name: str) -> bool:
         nid = self._name_to_id.get(name)
-        if nid is None:
-            return False
-        return any(e[0] == frame and e[4] == nid for e in self._index)
+        return nid is not None and (frame, nid) in self._lookup
 
     def read_chunk(self, frame: int, name: str) -> Optional[np.ndarray]:
         nid = self._name_to_id.get(name)
         if nid is None:
             return None
-        for e in self._index:
-            if e[0] == frame and e[4] == nid:
-                _, n, loc, m, _, tid, _ = e
-                dtype = _TYPES[tid]
-                self._f.seek(loc)
-                raw = self._f.read(n * m * np.dtype(dtype).itemsize)
-                arr = np.frombuffer(raw, dtype=dtype).reshape(n, m)
-                return arr[:, 0] if m == 1 else arr
-        return None
+        e = self._lookup.get((frame, nid))
+        if e is None:
+            return None
+        _, n, loc, m, _, tid, _ = e
+        dtype = _TYPES[tid]
+        self._f.seek(loc)
+        raw = self._f.read(n * m * np.dtype(dtype).itemsize)
+        arr = np.frombuffer(raw, dtype=dtype).reshape(n, m)
+        return arr[:, 0] if m == 1 else arr
 
     def close(self):
         self._f.close()
@@ -403,17 +407,45 @@ def open_gsd(path, mode="r"):
 class GSDWriter:
     """Periodic trajectory writer (parity: ``hoomd.write.GSD`` attached to
     the reference workflow, 05_advanced_run.py:1231-1249). Writes a frame
-    whenever simulated time crosses the output period; append or truncate."""
+    whenever simulated time crosses the output period; append or truncate.
 
-    def __init__(self, path, output_period_ps=50.0, truncate=False, dtype=np.float32):
+    Each frame embeds ``log/*`` chunks gathered from the simulation's
+    trackers (every tracker ``current`` dict plus autocorrelation values) —
+    parity with the ~30-quantity Logger the reference attaches to its GSD
+    writer (05_advanced_run.py:1239-1249). Disable with
+    ``log_trackers=False``."""
+
+    def __init__(self, path, output_period_ps=50.0, truncate=False,
+                 dtype=np.float32, log_trackers=True):
         mode = "w" if truncate or not os.path.exists(path) else "a"
         self.traj = HOOMDTrajectory(path, mode)
         self.output_period_ps = output_period_ps
         self.last_output_ps = -1e30
         self.dtype = dtype
+        self.log_trackers = log_trackers
+
+    def _gather_log(self, sim):
+        log = {
+            "md/time_ps": sim.elapsed_ps,
+            "md/dt_au": float(sim.state.dt),
+        }
+        for tr in getattr(sim, "trackers", ()):
+            prefix = type(tr).__name__
+            cur = getattr(tr, "current", None)
+            if isinstance(cur, dict):
+                for k, v in cur.items():
+                    log[f"{prefix}/{k}"] = v
+            ca = getattr(tr, "current_autocorr", None)
+            if ca is not None:
+                log[f"{prefix}/autocorr"] = ca
+        return log
 
     def write_now(self, sim):
-        self.traj.append(sim.get_snapshot(), step=sim.timestep, dtype=self.dtype)
+        log = self._gather_log(sim) if self.log_trackers else None
+        self.traj.append(
+            sim.get_snapshot(), step=sim.timestep, dtype=self.dtype,
+            log_data=log,
+        )
 
     def consume(self, obs, sim):
         t_ps = sim.elapsed_ps

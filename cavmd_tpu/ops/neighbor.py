@@ -137,12 +137,23 @@ def build_cell_list(position, box_L, cfg: CellListConfig,
     )
 
 
-def exclusion_table(n, bond_group, max_excl=4) -> np.ndarray:
+def exclusion_table(n, bond_group, max_excl=None) -> np.ndarray:
     """(N+1, max_excl) static per-particle exclusion ids (N = none);
-    the final row is the empty-slot sentinel."""
+    the final row is the empty-slot sentinel.
+
+    ``max_excl=None`` auto-sizes the table from the actual bond topology
+    (the max bond degree), so arbitrary polyatomic inputs work — parity
+    with HOOMD's arbitrary 'bond' exclusions (SURVEY.md §2.3)."""
+    bond_group = np.asarray(bond_group).reshape(-1, 2)
+    if max_excl is None:
+        degree = np.zeros(n, dtype=np.int64)
+        if bond_group.size:
+            np.add.at(degree, bond_group[:, 0], 1)
+            np.add.at(degree, bond_group[:, 1], 1)
+        max_excl = max(int(degree.max(initial=0)), 1)
     table = np.full((n + 1, max_excl), n, dtype=np.int32)
     counts = np.zeros(n, dtype=np.int32)
-    for a, b in np.asarray(bond_group):
+    for a, b in bond_group:
         for i, j in ((int(a), int(b)), (int(b), int(a))):
             if counts[i] >= max_excl:
                 raise ValueError("exclusion capacity exceeded")

@@ -203,6 +203,11 @@ def test_gsd_append_mode(tmp_path):
 
 
 def test_gsd_writer_in_simulation(sim, tmp_path):
+    n_dof = 3 * (sim.snapshot.N - 1)
+    et = EnergyTracker(output_prefix="prod-1", output_period_steps=10,
+                       n_molecular_dof=n_dof)
+    da = DipoleAutocorrelation(output_period_steps=10)
+    sim.trackers += [et, da]
     w = GSDWriter(str(tmp_path / "traj.gsd"), output_period_ps=0.001)
     sim.writers.append(w)
     sim.run(n_steps=200)
@@ -211,6 +216,14 @@ def test_gsd_writer_in_simulation(sim, tmp_path):
         assert len(t) >= 2
         frame = t[-1]
         assert frame.N == sim.snapshot.N
+        # embedded logger data (parity: the reference GSD logger,
+        # 05_advanced_run.py:1239-1249)
+        uni = t.read_log(len(t) - 1, "EnergyTracker/universe_total_energy")
+        assert uni is not None and np.isfinite(float(uni[0]))
+        ac = t.read_log(len(t) - 1, "DipoleAutocorrelation/autocorr")
+        assert ac is not None
+        tp = t.read_log(len(t) - 1, "md/time_ps")
+        assert tp is not None and float(tp[0]) > 0
 
 
 def test_table_writer(sim, capsys):
@@ -276,3 +289,42 @@ def test_exclusion_capacity_error():
         exclusion_table(6, np.asarray(bonds), max_excl=4)
     table = exclusion_table(6, np.asarray(bonds), max_excl=5)
     assert set(table[0][:5]) == {1, 2, 3, 4, 5}
+
+
+def test_exclusion_autosize_polyatomic():
+    """max_excl=None sizes the table from the actual bond degree, so
+    polyatomic topologies (e.g. 5-coordinated centers) just work."""
+    from cavmd_tpu.ops.neighbor import exclusion_table
+
+    bonds = np.asarray([[0, 1], [0, 2], [0, 3], [0, 4], [0, 5]])
+    table = exclusion_table(6, bonds)  # would raise with the old fixed cap 4
+    assert table.shape == (7, 5)
+    assert set(table[0]) == {1, 2, 3, 4, 5}
+    assert table[1][0] == 0 and table[1][1] == 6  # sentinel fill
+    # no bonds at all: minimum one column of sentinels
+    empty = exclusion_table(3, np.zeros((0, 2), np.int32))
+    assert empty.shape == (4, 1) and (empty == 3).all()
+
+
+def test_gsd_indexed_reader_random_access(tmp_path):
+    """Chunk lookups are dict-indexed: any (frame, name) resolves without a
+    full index scan, including after reopening the file."""
+    from cavmd_tpu.io.gsd import GSDFile
+
+    path = str(tmp_path / "idx.gsd")
+    f = GSDFile(path, "w")
+    for frame in range(50):
+        f.begin_frame()
+        f.write_chunk("a", np.asarray([frame], np.int64))
+        if frame % 2 == 0:
+            f.write_chunk("even_only", np.asarray([frame * 7], np.int64))
+        f.end_frame()
+    f.close()
+
+    r = GSDFile(path, "r")
+    assert len(r._lookup) == 50 + 25
+    assert r.read_chunk(33, "a")[0] == 33
+    assert r.read_chunk(33, "even_only") is None
+    assert r.read_chunk(34, "even_only")[0] == 34 * 7
+    assert r.chunk_exists(34, "even_only") and not r.chunk_exists(33, "even_only")
+    r.close()
