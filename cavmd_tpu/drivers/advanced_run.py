@@ -272,6 +272,12 @@ class CavityMDSimulation:
                 gamma=PC.gamma_from_tau_ps(self.molecular_thermostat_tau),
             ))
             self.log_info("Molecular bath: Langevin (NVT)")
+        elif mt == "brownian":
+            methods.append(MethodSpec(
+                kind="brownian", group="molecular", kT=kT,
+                gamma=PC.gamma_from_tau_ps(self.molecular_thermostat_tau),
+            ))
+            self.log_info("Molecular bath: Brownian (overdamped)")
         elif mt == "none":
             methods.append(MethodSpec(kind="nve", group="molecular"))
             self.log_info("Molecular bath: none (NVE)")
@@ -294,6 +300,14 @@ class CavityMDSimulation:
                     tau=PC.ps_to_atomic_units(self.cavity_thermostat_tau),
                 ))
                 self.log_info("Cavity bath: Bussi")
+            elif ct == "brownian":
+                gamma = self.cavity_damping_factor * PC.gamma_from_tau_ps(
+                    self.cavity_thermostat_tau
+                )
+                methods.append(MethodSpec(
+                    kind="brownian", group="cavity", kT=kT, gamma=gamma,
+                ))
+                self.log_info("Cavity bath: Brownian (overdamped)")
             elif ct == "none":
                 methods.append(MethodSpec(kind="nve", group="cavity"))
                 self.log_info("Cavity bath: none (NVE)")
@@ -561,6 +575,12 @@ def _method_spec(kind, group, kT, tau_ps, args=None):
             gamma *= args.cavity_damping_factor if hasattr(
                 args, "cavity_damping_factor") else 1.0
         return MethodSpec(kind="langevin", group=group, kT=kT, gamma=gamma)
+    if kind == "brownian":
+        gamma = PC.gamma_from_tau_ps(tau_ps)
+        if group == "cavity" and args is not None:
+            gamma *= args.cavity_damping_factor if hasattr(
+                args, "cavity_damping_factor") else 1.0
+        return MethodSpec(kind="brownian", group=group, kT=kT, gamma=gamma)
     if kind == "none":
         return MethodSpec(kind="nve", group=group)
     raise ValueError(f"invalid thermostat {kind}")
@@ -622,9 +642,9 @@ def build_parser():
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
     parser.add_argument("--molecular-bath", type=str, default="bussi",
-                        choices=["bussi", "langevin", "none"])
+                        choices=["bussi", "langevin", "brownian", "none"])
     parser.add_argument("--cavity-bath", type=str, default="langevin",
-                        choices=["bussi", "langevin", "none"])
+                        choices=["bussi", "langevin", "brownian", "none"])
     parser.add_argument("--finite-q", action="store_true")
     parser.add_argument("--coupling", type=float, default=1e-3)
     parser.add_argument("--temperature", type=float, default=100.0)

@@ -37,6 +37,7 @@ from cavmd_tpu.core.box import rewrap
 from cavmd_tpu.core.snapshot import Snapshot
 from cavmd_tpu.integrate.forcefield import ForceField
 from cavmd_tpu.integrate.rng import (
+    STREAM_BROWNIAN,
     STREAM_BUSSI,
     STREAM_LANGEVIN,
     master_key,
@@ -45,6 +46,7 @@ from cavmd_tpu.integrate.rng import (
 from cavmd_tpu.integrate.thermostats import (
     MTTKState,
     berendsen_factor,
+    brownian_apply,
     bussi_apply,
     kinetic_energy,
     langevin_ou_apply,
@@ -64,7 +66,7 @@ class MethodSpec(NamedTuple):
     over Type['L'], each one of bussi | langevin | mttk | berendsen | nve.
     """
 
-    kind: str  # 'nve' | 'bussi' | 'langevin' | 'mttk' | 'berendsen'
+    kind: str  # 'nve' | 'bussi' | 'langevin' | 'mttk' | 'berendsen' | 'brownian'
     group: str  # 'molecular' | 'cavity' | 'all'
     kT: float = 0.0
     tau: float = 0.0  # thermostat time constant, a.u. (bussi/mttk/berendsen)
@@ -259,13 +261,36 @@ def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None
         inv_m = 1.0 / state.mass[:, None]
         v = v + 0.5 * dt * state.forces * inv_m
         pos = state.position + dt * v
+        # Brownian groups: overdamped Euler-Maruyama drift replaces the VV
+        # drift; velocities are Maxwell-resampled and must not receive the
+        # second VV kick below
+        brownian_mask = None
+        for i, m in enumerate(methods):
+            if m.kind == "brownian":
+                mask = group_mask(state.typeid, l_typeid, m.group, ghost_typeid)
+                slot = group_slot(m.group)
+                key = stream_key(state.key, STREAM_BROWNIAN, state.timestep, i)
+                bpos, bv, dres = brownian_apply(
+                    state.position, state.velocity, state.forces, state.mass,
+                    mask, jnp.asarray(m.gamma, dtype), jnp.asarray(m.kT, dtype),
+                    dt, key,
+                )
+                pos = jnp.where(mask[:, None], bpos, pos)
+                v = jnp.where(mask[:, None], bv, v)
+                langevin_res = langevin_res.at[slot].add(dres)
+                brownian_mask = (
+                    mask if brownian_mask is None else brownian_mask | mask
+                )
         pos, image = rewrap(pos, state.image, state.box_L)
 
         forces, energies = ff.compute(
             pos, image, state.box_L, state.charge, state.typeid,
             state.bond_group, state.bond_typeid,
         )
-        v = v + 0.5 * dt * forces * inv_m
+        kick2 = 0.5 * dt * forces * inv_m
+        if brownian_mask is not None:
+            kick2 = jnp.where(brownian_mask[:, None], 0.0, kick2)
+        v = v + kick2
 
         # ---- thermostat half 2 (MTTK) + Langevin O-step ----
         for i, m in enumerate(methods):

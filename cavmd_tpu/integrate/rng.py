@@ -19,6 +19,7 @@ STREAM_BUSSI = 1
 STREAM_LANGEVIN = 2
 STREAM_MTTK = 3
 STREAM_THERMALIZE = 4
+STREAM_BROWNIAN = 5
 
 
 def stream_key(seed_key, stream_id: int, timestep, instance: int = 0):

@@ -140,6 +140,40 @@ def langevin_ou_apply(velocity, mass, mask, gamma, kT, dt, key, indices=None):
     return new_v, ke_before - ke_after
 
 
+def brownian_apply(position, velocity, forces, mass, mask, gamma, kT, dt, key):
+    """Overdamped (Brownian / Euler-Maruyama) update for one group.
+
+    dx = F dt / (m gamma) + sqrt(2 kT dt / (m gamma)) xi — the overdamped
+    limit the reference's own guidance points users to for gamma*dt >> 1
+    (src/cavitymd/utils.py:59-64; the method itself exists only here).
+    ``gamma`` is the friction *rate* (1/time), matching this module's
+    Langevin convention, so the drag coefficient is m*gamma (HOOMD's
+    ``md.methods.Brownian`` gamma equals that product).
+
+    Velocities are resampled from the Maxwell distribution each step
+    (HOOMD Brownian semantics: velocity carries a kT-consistent sample for
+    thermodynamic output, not dynamics). Returns
+    (new_position, new_velocity, reservoir_delta); the tally is the exact
+    KE change of the resampling — position-space bath work is not a
+    conserved-universe quantity in the overdamped limit.
+    """
+    dtype = position.dtype
+    k1, k2 = jax.random.split(key)
+    drag = mass * gamma  # (N,)
+    noise = jax.random.normal(k1, position.shape, dtype=dtype)
+    dx = forces * (dt / drag)[:, None] + (
+        jnp.sqrt(2.0 * kT * dt / drag)[:, None] * noise
+    )
+    new_pos = jnp.where(mask[:, None], position + dx, position)
+    vmb = jnp.sqrt(kT / mass)[:, None] * jax.random.normal(
+        k2, position.shape, dtype=dtype
+    )
+    new_v = jnp.where(mask[:, None], vmb, velocity)
+    ke_before = kinetic_energy(velocity, mass, mask)
+    ke_after = kinetic_energy(new_v, mass, mask)
+    return new_pos, new_v, ke_before - ke_after
+
+
 class MTTKState(NamedTuple):
     """Nose-Hoover internal DOF (xi, eta) — reference Thermostat.h:139-146."""
 

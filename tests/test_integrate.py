@@ -267,3 +267,52 @@ def test_mttk_and_berendsen_run():
         ke = np.asarray(obs["kinetic_molecular"])[-200:]
         T = 2 * ke.mean() / (3 * (snap.N - 1) * PhysicalConstants.KB_HARTREE_PER_K)
         assert 30.0 < T < 300.0, f"{kind}: T={T}"
+
+
+def test_brownian_canonical_sampling():
+    """Brownian (overdamped) dynamics samples the canonical position
+    distribution: Var(x) = kT/k in a harmonic trap (the method the
+    reference's own gamma*dt guidance points overdamped users to,
+    src/cavitymd/utils.py:59-64), and velocities carry Maxwell samples."""
+    from cavmd_tpu.core.snapshot import Snapshot
+
+    N = 64
+    rng = np.random.default_rng(0)
+    snap = Snapshot.create(
+        position=rng.normal(size=(N, 3)) * 0.5,
+        box_L=np.array([200.0, 200.0, 200.0]),
+        velocity=np.zeros((N, 3)), image=np.zeros((N, 3), np.int32),
+        mass=np.ones(N), charge=np.zeros(N), diameter=np.ones(N),
+        typeid=np.zeros(N, np.int32), types=("O",),
+    )
+    k_trap = 0.2
+
+    def trap(position, image, box_L, charge, typeid):
+        return -k_trap * position, 0.5 * k_trap * jnp.sum(position**2)
+
+    ff = ForceField.create(
+        snap, enable_cavity=False, enable_coulomb=False, enable_lj=False,
+        enable_bonds=False, lj_params={("O", "O"): dict(epsilon=0.0, sigma=1.0)},
+        pppm_mesh=(8, 8, 8), custom_forces=(trap,),
+    )
+    kT = PhysicalConstants.kT_from_kelvin(100.0)
+    gamma, dt = 0.5, 0.05  # position relax time m*gamma/k = 2.5 au = 50 steps
+    methods = resolve_methods(
+        snap, (MethodSpec(kind="brownian", group="all", kT=kT, gamma=gamma),),
+        ff.l_typeid,
+    )
+    step = make_step_fn(ff, methods)
+    state = init_state(snap, ff, dt=dt, seed=3)
+    runner = jax.jit(lambda s, n: run_steps(step, s, n), static_argnums=1)
+    state, _ = runner(state, 2000)  # burn-in: 40 position relax times
+    pos_samples, vel_samples = [], []
+    for _ in range(200):
+        state, _ = runner(state, 50)  # one relax time between samples
+        pos_samples.append(np.asarray(state.position))
+        vel_samples.append(np.asarray(state.velocity))
+    var_x = np.stack(pos_samples).var()
+    var_v = np.stack(vel_samples).var()
+    # Euler-Maruyama stationary variance bias is 1/(1 - theta/2), theta =
+    # k dt/(m gamma) = 0.02 here -> ~+1%; allow 5% total with sampling noise
+    assert var_x == pytest.approx(kT / k_trap, rel=0.05)
+    assert var_v == pytest.approx(kT, rel=0.05)  # Maxwell resampling, m=1
