@@ -81,6 +81,10 @@ class ForceField:
     cell_neighbors: jnp.ndarray = None  # (C, 27) int32
     # pallas backend data
     pallas_pack: object = None  # PallasPairPack when pair_mode == 'pallas'
+    # fused cell kernel data (cell mode, uniform cutoff): when present and
+    # running f32 on a TPU backend, the tile pass runs in the Pallas cell
+    # kernel (2.7-3x the XLA tile path at N=100k, measured v5e)
+    cell_pallas_pack: object = None
     # static
     l_typeid: int = 2
     coulomb_rcut: float = 15.0
@@ -103,13 +107,33 @@ class ForceField:
     # enables the reduced-traffic fused cell kernel
     uniform_rcut: float = None
     ghost_typeid: int = -1  # typeid of sharding-padding ghosts ('__ghost__')
+    # (N,) bool: particles inert to the pair pass (no LJ, no charge) — the
+    # photon and sharding ghosts. Excluded from the cell-rebuild
+    # displacement trigger: the light photon (mass 1 vs ~25k) moves ~0.3
+    # bohr/step and would force a rebuild every step (measured) despite
+    # contributing nothing to any pair tile.
+    pair_inert: jnp.ndarray = None
 
-    def compute(self, position, image, box_L, charge, typeid, bond_group, bond_typeid):
+    def build_cells(self, position, box_L):
+        """Bin particles into cell buckets (cell mode only) — exposed so the
+        integrator can carry the CellList across steps and rebuild it only
+        when a particle has moved more than skin/2 (the HOOMD
+        displacement-triggered rebuild with ``buffer``, SURVEY.md §2.3)."""
+        from cavmd_tpu.ops.neighbor import CellListConfig
+
+        cfg = CellListConfig(*self.cell_cfg)
+        return build_cell_list(position, box_L, cfg, self.cell_neighbors)
+
+    def compute(self, position, image, box_L, charge, typeid, bond_group,
+                bond_typeid, clist=None):
         """Total forces + component energies in one fused evaluation.
 
         Returns (forces (N,3), energies dict). Energy keys mirror the
         reference energy audit: harmonic (bonds), lj, ewald_short,
         ewald_long, cavity_harmonic, cavity_coupling, cavity_dipole_self.
+
+        ``clist``: optional externally-carried CellList (cell mode). When
+        None, buckets are rebuilt from the current positions.
         """
         dtype = position.dtype
         zero = jnp.zeros((), dtype)
@@ -142,7 +166,10 @@ class ForceField:
             from cavmd_tpu.ops.neighbor import CellListConfig
 
             cfg = CellListConfig(*self.cell_cfg)
-            clist = build_cell_list(position, box_L, cfg, self.cell_neighbors)
+            if clist is None:
+                clist = build_cell_list(
+                    position, box_L, cfg, self.cell_neighbors
+                )
             # failure detection (SURVEY.md §5): a bucket overflow would
             # silently drop pairs — surface it in the observable stream so
             # the chunked runner can abort (Simulation.run checks it)
@@ -152,7 +179,26 @@ class ForceField:
                 exclusions=self.cell_exclusions,
                 cell_block=self.cell_block,
             )
-            if self.enable_lj and self.enable_coulomb:
+            use_pallas_cells = (
+                self.cell_pallas_pack is not None
+                and self.enable_lj and self.enable_coulomb
+                and dtype == jnp.float32
+                and jax.default_backend() == "tpu"
+            )
+            if use_pallas_cells:
+                # hand-fused Pallas tile pass: all intermediates in VMEM
+                # (the XLA tile path materializes several (C, cap, 27cap)
+                # tensors to HBM; measured 2.7-3x slower at N=100k)
+                from cavmd_tpu.ops.pallas_kernels import fused_cell_pallas
+
+                f, e_lj, e_ew = fused_cell_pallas(
+                    position, box_L, clist, cfg, self.cell_pallas_pack,
+                    self.kappa,
+                )
+                forces = forces + f
+                energies["lj"] = e_lj
+                energies["ewald_short"] = e_ew
+            elif self.enable_lj and self.enable_coulomb:
                 # fused tile pass: one shared distance computation
                 from cavmd_tpu.ops.neighbor import make_fused_cell_kernel
 
@@ -271,8 +317,10 @@ class ForceField:
         ewald_accuracy: float = 1e-6,
         pair_mode: str | None = None,
         custom_forces: tuple = (),
-        cell_skin: float = 0.0,  # per-step rebuild needs no skin; >0 only
-        # matters for a future periodic-rebuild policy
+        cell_skin: float = 0.5,  # minimum Verlet skin (snapped up to the
+        # free cell-width slack, see plan_cells); the integrator carries the
+        # CellList and rebuilds only on >skin/2 displacement. 0 = legacy
+        # per-step rebuild (costs ~19 ms/step argsort at N=100k, measured)
         cell_cap: int | None = None,
         dtype=None,
     ) -> "ForceField":
@@ -320,6 +368,7 @@ class ForceField:
         cell_fields = dict(
             lj_eps=eps, lj_sigma=sig, lj_rcut=rcut_t,
             cell_features=None, cell_exclusions=None, cell_neighbors=None,
+            pair_inert=None, cell_pallas_pack=None,
         )
         cell_cfg_tuple = None
         if dense_like:
@@ -367,16 +416,31 @@ class ForceField:
                 while C % blk != 0:
                     blk -= 1
                 cell_block_val = blk
+            typeid_np = np.asarray(snapshot.typeid)
+            lj_active_type = np.any(np.asarray(eps) != 0, axis=1)
+            inert = (
+                ~lj_active_type[typeid_np]
+                & (np.asarray(snapshot.charge) == 0)
+            )
+            excl_np = exclusion_table(snapshot.N, snapshot.bond_group)
+            cell_pallas = None
+            if uniform_rcut_val is not None and enable_lj and enable_coulomb:
+                from cavmd_tpu.ops.pallas_kernels import CellPallasPack
+
+                cell_pallas = CellPallasPack.create(
+                    typeid_np, snapshot.charge, eps, sig, excl_np,
+                    snapshot.N,
+                )
             cell_fields.update(
                 cell_features=make_particle_features(
                     snapshot.typeid, snapshot.charge, len(types)
                 ),
-                cell_exclusions=jnp.asarray(
-                    exclusion_table(snapshot.N, snapshot.bond_group)
-                ),
+                cell_exclusions=jnp.asarray(excl_np),
                 cell_neighbors=jnp.asarray(
                     neighbor_cell_table(cfg.ncells), jnp.int32
                 ),
+                pair_inert=jnp.asarray(inert),
+                cell_pallas_pack=cell_pallas,
             )
 
         kappa_val = kappa if kappa is not None else auto_kappa(r_cut, ewald_accuracy)
@@ -435,6 +499,7 @@ jax.tree_util.register_dataclass(
         "cavity", "qq_pair", "coulomb_active", "kappa", "pppm",
         "lj_eps", "lj_sigma", "lj_rcut",
         "cell_features", "cell_exclusions", "cell_neighbors", "pallas_pack",
+        "pair_inert", "cell_pallas_pack",
     ],
     meta_fields=[
         "l_typeid", "coulomb_rcut", "pppm_order", "pppm_mesh",

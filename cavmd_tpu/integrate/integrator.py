@@ -108,6 +108,11 @@ class MDState:
     mttk: MTTKState  # xi/eta arrays of shape (2,)
     # adaptive timestep controller state
     error_tolerance: jnp.ndarray  # current effective tolerance (0 = fixed dt)
+    # carried cell list (cell mode with skin > 0): rebuilt inside the step
+    # only when some particle moved > skin/2 since `cell_anchor` (the HOOMD
+    # displacement-triggered rebuild). None = rebuild every step.
+    cell_list: object = None
+    cell_anchor: jnp.ndarray = None
 
     def replace(self, **kw) -> "MDState":
         return dataclasses.replace(self, **kw)
@@ -121,6 +126,7 @@ jax.tree_util.register_dataclass(
         "dt", "time_au", "time_comp", "timestep", "key",
         "bussi_reservoir", "bussi_reservoir_rot", "bussi_instantaneous",
         "langevin_reservoir", "mttk", "error_tolerance",
+        "cell_list", "cell_anchor",
     ],
     meta_fields=[],
 )
@@ -186,6 +192,11 @@ def init_state(
         snapshot.position, snapshot.image, snapshot.box_L, snapshot.charge,
         snapshot.typeid, snapshot.bond_group, snapshot.bond_typeid,
     )
+    cell_list = cell_anchor = None
+    if ff.pair_mode == "cell" and ff.cell_cfg is not None and ff.cell_cfg[3] > 0:
+        # skin > 0: carry the cell list; the step rebuilds it on demand
+        cell_list = jax.jit(ff.build_cells)(snapshot.position, snapshot.box_L)
+        cell_anchor = snapshot.position
     z2 = jnp.zeros((2,), dtype)
     return MDState(
         position=snapshot.position,
@@ -209,6 +220,8 @@ def init_state(
         langevin_reservoir=z2,
         mttk=MTTKState(xi=z2, eta=z2),
         error_tolerance=jnp.asarray(error_tolerance, dtype),
+        cell_list=cell_list,
+        cell_anchor=cell_anchor,
     )
 
 
@@ -283,9 +296,33 @@ def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None
                 )
         pos, image = rewrap(pos, state.image, state.box_L)
 
+        # carried cell list: rebuild only when some particle has moved more
+        # than skin/2 since the anchor positions (Verlet-skin validity; the
+        # HOOMD nlist buffer policy). `lax.cond` executes one branch, so the
+        # O(N log N) argsort rebuild is skipped on most steps.
+        clist = anchor = None
+        if state.cell_list is not None:
+            from cavmd_tpu.core.box import minimum_image
+
+            half_skin = 0.5 * ff.cell_cfg[3]
+            disp = minimum_image(pos - state.cell_anchor, state.box_L)
+            disp2 = jnp.sum(disp * disp, axis=-1)
+            if ff.pair_inert is not None:
+                # pair-inert particles (photon, ghosts) never affect a tile;
+                # the m=1 photon moves ~0.3 bohr/step and would otherwise
+                # trigger a rebuild every step (measured)
+                disp2 = jnp.where(ff.pair_inert, 0.0, disp2)
+            need = jnp.max(disp2) > half_skin * half_skin
+
+            clist, anchor = jax.lax.cond(
+                need,
+                lambda: (ff.build_cells(pos, state.box_L), pos),
+                lambda: (state.cell_list, state.cell_anchor),
+            )
+
         forces, energies = ff.compute(
             pos, image, state.box_L, state.charge, state.typeid,
-            state.bond_group, state.bond_typeid,
+            state.bond_group, state.bond_typeid, clist=clist,
         )
         kick2 = 0.5 * dt * forces * inv_m
         if brownian_mask is not None:
@@ -340,6 +377,8 @@ def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None
             bussi_instantaneous=bussi_inst,
             langevin_reservoir=langevin_res,
             mttk=mttk,
+            cell_list=clist,
+            cell_anchor=anchor,
         )
 
         obs = dict(energies)

@@ -34,8 +34,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cavmd_tpu.core.box import minimum_image
-
 
 class CellListConfig(NamedTuple):
     """Static geometry of the cell decomposition."""
@@ -51,7 +49,14 @@ class CellListConfig(NamedTuple):
 
 
 def plan_cells(box_L, r_cut, *, skin=1.0, n=None, density=None, cap=None):
-    """Choose cell counts and bucket capacity (host-side, setup)."""
+    """Choose cell counts and bucket capacity (host-side, setup).
+
+    ``skin`` is the *requested minimum* Verlet skin; the returned config's
+    skin is snapped UP to the free slack ``min(box/ncells) - r_cut`` — the
+    cell grid is floor-quantized, so that slack exists anyway and using it
+    as skin extends the rebuild interval at zero extra tile cost. skin=0
+    requests per-step rebuilds and is kept as-is.
+    """
     box_L = np.asarray(box_L, float)
     width = r_cut + skin
     ncells = tuple(int(max(np.floor(L / width), 1)) for L in box_L)
@@ -59,6 +64,8 @@ def plan_cells(box_L, r_cut, *, skin=1.0, n=None, density=None, cap=None):
         vol_cell = np.prod(box_L) / np.prod([max(c, 1) for c in ncells])
         rho = (n / np.prod(box_L)) if n else (density or 0.01)
         cap = int(np.ceil(rho * vol_cell * 1.8)) + 8  # headroom; overflow detected
+    if skin > 0:
+        skin = float(min(L / c for L, c in zip(box_L, ncells)) - r_cut)
     return CellListConfig(ncells=ncells, cap=cap, r_cut=float(r_cut),
                           skin=float(skin))
 
@@ -213,16 +220,28 @@ def cell_pair_force(
         if feat_b is not None else None
     )
 
+    box = jnp.asarray(box_L, dtype)
+
     def block(idx_blk, pos_blk, feat_blk, excl_blk, jc_blk):
-        """Pair tiles for a block of cells -> (f (B,cap,3), energy)."""
+        """Pair tiles for a block of cells -> (f (B,cap,3), energy).
+
+        Displacements are computed component-wise — three (B, cap, 27cap)
+        tiles instead of one (B, cap, 27cap, 3) tensor. The trailing
+        3-vector axis breaks the (8, 128) lane tiling and forces extra
+        relayouts (the same fix measured at +33% on the dense pair path,
+        see ops/lj.py); component tiles keep the j axis on the lanes.
+        """
         b = idx_blk.shape[0]
-        pos_j = pos_b_x[jc_blk].reshape(b, 27 * cap, 3)  # whole-cell granules
         id_j = idx_b_x[jc_blk].reshape(b, 27 * cap)
 
-        dr = minimum_image(
-            pos_blk[:, :, None, :] - pos_j[:, None, :, :], box_L
-        )
-        r2 = jnp.sum(dr * dr, axis=-1)  # (B, cap, 27cap)
+        r2 = None
+        dcomp = []
+        for d in range(3):
+            pj = pos_b_x[jc_blk][..., d].reshape(b, 27 * cap)
+            dd = pos_blk[..., d][:, :, None] - pj[:, None, :]
+            dd = dd - box[d] * jnp.round(dd / box[d])
+            dcomp.append(dd)
+            r2 = dd * dd if r2 is None else r2 + dd * dd
 
         active = (
             (idx_blk < n)[:, :, None]
@@ -247,8 +266,9 @@ def cell_pair_force(
         energies = tuple(
             0.5 * jnp.sum(jnp.where(active, e, zero)) for e in e_terms
         )
-        f_tiles = jnp.where(active, f_over_r, zero)[..., None] * dr
-        return jnp.sum(f_tiles, axis=2), energies  # (B, cap, 3), tuple
+        s = jnp.where(active, f_over_r, zero)
+        f = jnp.stack([jnp.sum(s * dd, axis=2) for dd in dcomp], axis=-1)
+        return f, energies  # (B, cap, 3), tuple
 
     if cell_block is None or cell_block >= C:
         f_b, energies = block(idx_b, pos_b, feat_b, excl_b, jc)
@@ -289,8 +309,45 @@ def make_particle_features(typeid, charge, n_types: int):
     return jnp.concatenate([feats, jnp.zeros((1, n_types + 1), dtype)])
 
 
+def combine_pair_table(hi, hj, table):
+    """Per-pair parameter tile ``sum_tu hi_t table_tu hj_u`` WITHOUT an MXU
+    einsum.
+
+    The einsum form ("cit,tu,cju->cij") compiles to a K=T batched matmul
+    whose (C, cap, 27cap) f32 output is materialized to HBM — measured as a
+    dominant tile cost at N=100k. T is small and the table mostly zero
+    (photon/ghost rows are inert), so expanding over the nonzero (t, u)
+    entries emits pure elementwise broadcasts that XLA fuses straight into
+    the pair loop, materializing nothing. Because hi/hj rows are one-hots,
+    the expansion reproduces the exact table values (no precision concern).
+    Falls back to the einsum when the table is traced (non-concrete).
+    """
+    try:
+        tbl = np.asarray(table)
+    except (jax.errors.TracerArrayConversionError, TypeError):
+        return jnp.einsum("...it,tu,...ju->...ij", hi, table, hj,
+                          precision=jax.lax.Precision.HIGHEST)
+    out = None
+    T = tbl.shape[0]
+    for t in range(T):
+        row = None
+        for u in range(T):
+            if tbl[t, u] == 0.0:
+                continue
+            term = tbl[t, u] * hj[..., u]
+            row = term if row is None else row + term
+        if row is None:
+            continue
+        contrib = hi[..., t][..., None] * row[..., None, :]
+        out = contrib if out is None else out + contrib
+    if out is None:
+        out = jnp.zeros(hi.shape[:-1] + (hj.shape[-2],), hi.dtype)
+    return out
+
+
 def make_lj_cell_kernel(eps_table, sigma_table, rcut_table, n_types: int):
-    """Shifted-LJ pair kernel; per-pair parameters via one-hot MXU einsum."""
+    """Shifted-LJ pair kernel; per-pair parameters via fused type-pair
+    expansion (see combine_pair_table)."""
     sig2_t = sigma_table * sigma_table
     rc_safe = jnp.where(rcut_table > 0, rcut_table, 1.0)
     src6 = (sigma_table / rc_safe) ** 6
@@ -302,8 +359,7 @@ def make_lj_cell_kernel(eps_table, sigma_table, rcut_table, n_types: int):
         hj = feat_j[..., :n_types]  # (C, 27cap, T)
 
         def combine(table):
-            return jnp.einsum("cit,tu,cju->cij", hi, table, hj,
-                              precision=jax.lax.Precision.HIGHEST)
+            return combine_pair_table(hi, hj, table)
 
         eps = combine(eps_table)
         s2 = combine(sig2_t)
@@ -346,9 +402,8 @@ def make_fused_cell_kernel(eps_table, sigma_table, rcut_table, kappa,
             dtype = r2_safe.dtype
             hi = feat_i[..., :n_types]
             hj = feat_j[..., :n_types]
-            hp = jax.lax.Precision.HIGHEST
-            eps = jnp.einsum("cit,tu,cju->cij", hi, eps_table, hj, precision=hp)
-            s2 = jnp.einsum("cit,tu,cju->cij", hi, sig2_t, hj, precision=hp)
+            eps = combine_pair_table(hi, hj, eps_table)
+            s2 = combine_pair_table(hi, hj, sig2_t)
             in_range = active & (r2_safe < rc2) & (eps != 0)
             inv = s2 / r2_safe
             s6 = inv * inv * inv

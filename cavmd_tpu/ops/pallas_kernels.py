@@ -230,3 +230,274 @@ def make_fused_pair_pallas(pack: PallasPairPack, kappa, coulomb_rcut, tile=128,
         )
 
     return jax.jit(run) if jit else run
+
+
+# ---------------------------------------------------------------------------
+# Fused LJ + Ewald-short CELL kernel (large N)
+# ---------------------------------------------------------------------------
+#
+# The XLA cell-tile path (ops/neighbor.py:cell_pair_force) materializes
+# several (cells, cap, 27cap) intermediates to HBM per step — measured
+# ~37 ms of the 51 ms step at N=100k on v5e. This kernel computes the whole
+# tile pipeline per cell in VMEM: one HBM read of the (pre-gathered) i/j
+# tiles, one write of the per-cell force rows.
+#
+# Layouts (all built in XLA per step from the carried CellList — gathers
+# are memory-bound and XLA does them well; the kernel does the flop-dense
+# part):
+#   Pi (C, cap, R)      i-side feature rows, R = [x y z q id onehots excl*]
+#   Pj (C, R, 27cap_p)  j-side candidates, lane-padded to a 128 multiple
+#   out (C, cap, 8)     rows [fx fy fz e_lj_i e_ew_i 0 0 0]
+# Mosaic constraints respected (measured round 1): no erfc primitive (A&S
+# approx), no dynamic slices of VMEM inputs (every slice below is static),
+# no in-kernel transposes (i-columns come from a lane reduction against a
+# static one-hot).
+
+
+class CellPallasPack(NamedTuple):
+    """Static per-particle rows + expansion tables for the cell kernel."""
+
+    static_rows: jnp.ndarray  # (N+1, R-3): q, id, one-hots, exclusion ids
+    eps_terms: tuple  # ((t, u, eps_tu), ...) nonzero type-pair entries
+    sig2_terms: tuple
+    n_types_active: int
+    max_excl: int
+    r_pad: int  # padded row count R
+
+    @staticmethod
+    def create(typeid, charge, eps_table, sigma_table, exclusions, n):
+        """Build from concrete (host) values at ForceField.create time.
+
+        ``exclusions``: (N+1, max_excl) int table (sentinel n).
+        Active types = types with any nonzero eps row/col (the photon and
+        ghost types are inert and need no one-hot row).
+        """
+        eps_np = np.asarray(eps_table, np.float64)
+        sig_np = np.asarray(sigma_table, np.float64)
+        excl_np = np.asarray(exclusions, np.int64)
+        typeid_np = np.asarray(typeid)
+        q_np = np.asarray(charge, np.float32)
+        active = sorted(
+            set(np.nonzero(eps_np.any(axis=1))[0])
+            | set(np.nonzero(eps_np.any(axis=0))[0])
+        )
+        ta = len(active)
+        max_excl = excl_np.shape[1]
+        r = 3 + 1 + 1 + ta + max_excl
+        r_pad = r  # lane dim of Pj blocks handles its own padding
+
+        rows = np.zeros((n + 1, r - 3), np.float32)
+        rows[:n, 0] = q_np[:n]
+        rows[:, 1] = np.arange(n + 1, dtype=np.float32)  # id; sentinel = n
+        for a, t in enumerate(active):
+            rows[:n, 2 + a] = (typeid_np == t).astype(np.float32)
+        # exclusion partner ids (sentinel n matches nothing real)
+        rows[:, 2 + ta:2 + ta + max_excl] = excl_np.astype(np.float32)
+
+        sig2 = sig_np * sig_np
+        eps_terms, sig2_terms = [], []
+        for a, t in enumerate(active):
+            for b, u in enumerate(active):
+                if eps_np[t, u] != 0.0:
+                    eps_terms.append((a, b, float(eps_np[t, u])))
+                    sig2_terms.append((a, b, float(sig2[t, u])))
+        return CellPallasPack(
+            static_rows=jnp.asarray(rows),
+            eps_terms=tuple(eps_terms),
+            sig2_terms=tuple(sig2_terms),
+            n_types_active=ta,
+            max_excl=max_excl,
+            r_pad=r_pad,
+        )
+
+
+jax.tree_util.register_pytree_node(
+    CellPallasPack,
+    lambda p: ((p.static_rows,),
+               (p.eps_terms, p.sig2_terms, p.n_types_active, p.max_excl,
+                p.r_pad)),
+    lambda aux, c: CellPallasPack(c[0], *aux),
+)
+
+
+def _cell_kernel(pi_ref, pj_ref, scal_ref, out_ref, *, pack: "CellPallasPack",
+                 rc2, cells_per_step):
+    """G cells per grid step: each an (cap_i x 27cap_j) fused LJ +
+    Ewald-short tile computed entirely in VMEM. Multiple cells per step
+    amortize the per-grid-iteration overhead (4913 single-cell steps were
+    overhead-bound, measured)."""
+    cap = pi_ref.shape[1]
+    ta = pack.n_types_active
+    kappa = scal_ref[0, 0]
+    n_real = scal_ref[0, 4]
+    two_over_sqrt_pi = 2.0 / math.sqrt(math.pi)
+
+    for g in range(cells_per_step):
+        pi = pi_ref[g]  # (cap, R)
+
+        def icol(row):  # (cap, 1) column — static slice
+            return pi[:, row:row + 1]
+
+        def jrow(row):  # (1, 27cap_p) — static slice
+            return pj_ref[g, row:row + 1, :]
+
+        # component-wise min-image displacements (box rides SMEM scalars).
+        # Divides are ~10x a multiply on the VPU: reciprocal-multiplies
+        # (the scalar 1/L divides hoist out of the tile).
+        r2 = None
+        dxs = []
+        for d in range(3):
+            dx = icol(d) - jrow(d)
+            L = scal_ref[0, 1 + d]
+            dx = dx - L * jnp.round(dx * (1.0 / L))
+            dxs.append(dx)
+            r2 = dx * dx if r2 is None else r2 + dx * dx
+
+        # pair activity: in cutoff, both real (id < n — empty slots sit at
+        # a far position that can wrap onto a real/padded coordinate and
+        # produce an exact r2 = 0, whose 0/0 would poison the energy
+        # sums), not self, not excluded.
+        id_i = icol(4)
+        id_j = jrow(4)
+        valid = (
+            jnp.where(r2 < rc2, 1.0, 0.0)
+            * jnp.where(id_i != id_j, 1.0, 0.0)
+            * jnp.where(id_i < n_real, 1.0, 0.0)
+            * jnp.where(id_j < n_real, 1.0, 0.0)
+        )
+        for e in range(pack.max_excl):
+            ex_i = icol(5 + ta + e)
+            valid = valid * jnp.where(ex_i != id_j, 1.0, 0.0)
+
+        r2_safe = r2 + (1.0 - jnp.minimum(valid, 1.0))
+
+        # per-pair LJ parameters by type-pair expansion (exact: one-hots)
+        eps = None
+        s2 = None
+        for (a, b, v), (_, _, s2v) in zip(pack.eps_terms, pack.sig2_terms):
+            h = icol(5 + a) * jrow(5 + b)
+            eps = v * h if eps is None else eps + v * h
+            s2 = s2v * h if s2 is None else s2 + s2v * h
+        if eps is None:
+            eps = jnp.zeros_like(r2)
+            s2 = jnp.zeros_like(r2)
+
+        # one rsqrt covers every reciprocal below (divides are the
+        # dominant per-pair cost otherwise)
+        inv_r = jax.lax.rsqrt(r2_safe)
+        inv_r2 = inv_r * inv_r
+        rr = r2_safe * inv_r
+
+        inv = s2 * inv_r2
+        s6 = inv * inv * inv
+        s12 = s6 * s6
+        # inline shift under the uniform cutoff: (sigma/rc)^6 = s2^3/rc^6
+        src6 = (s2 * s2 * s2) * (1.0 / (rc2 * rc2 * rc2))
+        e_lj = valid * (4.0 * eps * (s12 - s6 - (src6 * src6 - src6)))
+        f_lj = valid * (24.0 * eps * (2.0 * s12 - s6) * inv_r2)
+
+        qq = icol(3) * jrow(3)
+        x = kappa * rr
+        ec = _erfc_pos(x)
+        e_ew = valid * (qq * ec * inv_r)
+        f_ew = valid * (
+            qq * (ec * inv_r2 + kappa * two_over_sqrt_pi
+                  * jnp.exp(-x * x) * inv_r) * inv_r
+        )
+
+        f = f_lj + f_ew
+        for d in range(3):
+            out_ref[g, :, d:d + 1] = jnp.sum(f * dxs[d], axis=1,
+                                             keepdims=True)
+        out_ref[g, :, 3:4] = jnp.sum(e_lj, axis=1, keepdims=True)
+        out_ref[g, :, 4:5] = jnp.sum(e_ew, axis=1, keepdims=True)
+        out_ref[g, :, 5:8] = jnp.zeros((cap, 3), jnp.float32)
+
+
+def fused_cell_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
+                      kappa, interpret=False):
+    """Fused LJ + Ewald-short pass over cell tiles via the Pallas kernel.
+
+    Returns (forces (N,3), e_lj, e_ew). Requires a uniform cutoff
+    (cfg.r_cut applies to every enabled pair) and f32 data. The i/j tiles
+    are pre-gathered in XLA (memory-bound, fine there); the kernel runs the
+    flop-dense tile pipeline with all intermediates in VMEM.
+    """
+    n = position.shape[0]
+    dtype = jnp.float32
+    idx = clist.bucket_idx  # (C, cap)
+    C, cap = idx.shape
+    r = pack.r_pad
+    lanes = _round_up(27 * cap, 128)
+
+    far = jnp.full((1, 3), jnp.asarray(1e6, dtype))
+    pos_pad = jnp.concatenate([position.astype(dtype), far])  # (N+1, 3)
+    rows = jnp.concatenate([pos_pad, pack.static_rows], axis=1)  # (N+1, R)
+
+    pi = rows[idx]  # (C, cap, R) — the i-side tiles
+    # j-side: (C, R, 27cap) from whole-bucket gathers; sentinel cell C is
+    # an always-empty phantom (deduped neighbor slots point at it)
+    sentinel = jnp.zeros((1, cap, r), dtype).at[:, :, :3].set(1e6)
+    sentinel = sentinel.at[:, :, 4].set(float(n))
+    pc = jnp.concatenate([pi, sentinel])  # (C+1, cap, R)
+    pj = pc[clist.neighbor_cells]  # (C, 27, cap, R)
+    pj = jnp.moveaxis(pj, 3, 1).reshape(C, r, 27 * cap)
+    # lane padding carries sentinel values (far position, id = n): zero
+    # padding would alias particle id 0 / the origin and can produce an
+    # exact-zero wrapped distance (0/0 -> NaN in the energy sums)
+    sent_col = (
+        jnp.zeros((r,), dtype).at[:3].set(1e6).at[4].set(float(n))
+    )
+    pad_block = jnp.broadcast_to(
+        sent_col[None, :, None], (C, r, lanes - 27 * cap)
+    )
+    pj = jnp.concatenate([pj, pad_block], axis=2)
+
+    # G cells per grid step (single-cell steps are grid-overhead-bound);
+    # pad the cell axis with inert sentinel cells when G doesn't divide C
+    G = min(16, C)
+    C_pad = _round_up(C, G)
+    if C_pad != C:
+        pi = jnp.concatenate(
+            [pi, jnp.broadcast_to(sentinel, (C_pad - C, cap, r))]
+        )
+        pj = jnp.concatenate(
+            [pj, jnp.broadcast_to(sent_col[None, :, None],
+                                  (C_pad - C, r, lanes))]
+        )
+
+    box = jnp.asarray(box_L, dtype).reshape(3)
+    scal = jnp.concatenate(
+        [jnp.asarray(kappa, dtype).reshape(1), box,
+         jnp.asarray(float(n), dtype).reshape(1)]
+    ).reshape(1, 5)
+    rc2 = float(cfg.r_cut) ** 2
+
+    kernel = functools.partial(_cell_kernel, pack=pack, rc2=rc2,
+                               cells_per_step=G)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pl.GridSpec(
+            grid=(C_pad // G,),
+            in_specs=[
+                pl.BlockSpec((G, cap, r), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, r, lanes), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((G, cap, 8), lambda c: (c, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((C_pad, cap, 8), dtype),
+        interpret=interpret,
+    )(pi, pj, scal)
+
+    forces = jnp.zeros((n + 1, 3), dtype)
+    forces = forces.at[idx.reshape(-1)].add(
+        out[:C, :, :3].reshape(-1, 3)
+    )
+    e_lj = 0.5 * jnp.sum(out[:, :, 3])
+    e_ew = 0.5 * jnp.sum(out[:, :, 4])
+    return (forces[:n].astype(position.dtype),
+            e_lj.astype(position.dtype), e_ew.astype(position.dtype))

@@ -49,7 +49,8 @@ def state_shardings(mesh: Mesh, state, *, batched: bool):
         ndim = leaf.ndim
         batch_dims = len(r)
         core_ndim = ndim - batch_dims
-        if name in ("position", "image", "velocity", "forces") and core_ndim == 2:
+        if name in ("position", "image", "velocity", "forces",
+                    "cell_anchor") and core_ndim == 2:
             return P(*r, "atoms", None)
         if name in ("mass", "charge", "typeid") and core_ndim == 1:
             return P(*r, "atoms")

@@ -60,25 +60,46 @@ class Simulation:
         self.trackers: list = []
         self.writers: list = []
 
-        step = make_step_fn(self.ff, self.methods, extra_obs=extra_obs)
-        if error_tolerance > 0:
-            step = make_adaptive_step(
-                step,
-                error_tolerance=error_tolerance,
-                initial_fraction=adaptive_initial_fraction,
-                time_constant_ps=adaptive_time_constant_ps,
-                period=adaptive_period,
-            )
-        self._step = step
-        self._run_chunk = jax.jit(
-            lambda state, n: run_steps(self._step, state, n),
-            static_argnums=(1,),
+        self._adaptive_kwargs = dict(
+            error_tolerance=error_tolerance,
+            initial_fraction=adaptive_initial_fraction,
+            time_constant_ps=adaptive_time_constant_ps,
+            period=adaptive_period,
         )
+        self._extra_obs = extra_obs
+        self._build_runner()
         self.state: MDState = init_state(
             snapshot, forcefield, dt=dt, seed=seed,
             error_tolerance=error_tolerance,
         )
         self.error_tolerance = error_tolerance
+
+    def _build_runner(self):
+        """(Re)build the jitted chunk runner from the current ForceField —
+        called at init and again after an overflow-triggered re-plan."""
+        step = make_step_fn(self.ff, self.methods, extra_obs=self._extra_obs)
+        if self._adaptive_kwargs["error_tolerance"] > 0:
+            step = make_adaptive_step(step, **self._adaptive_kwargs)
+        self._step = step
+        self._run_chunk = jax.jit(
+            lambda state, n: run_steps(self._step, state, n),
+            static_argnums=(1,),
+        )
+
+    def _grow_cell_capacity(self):
+        """Re-plan the cell list with 1.5x bucket capacity (overflow
+        recovery: a production engine re-plans and retries instead of
+        aborting). The caller must refresh any carried state.cell_list to
+        the new shapes."""
+        import dataclasses
+
+        ncells, cap, r_cut, skin = self.ff.cell_cfg
+        new_cap = max(cap + 4, cap * 2)
+        self.ff = dataclasses.replace(
+            self.ff, cell_cfg=(ncells, new_cap, r_cut, skin)
+        )
+        self._build_runner()
+        return new_cap
 
     # ------------------------------------------------------------------ setup
     def thermalize(self, kT, *, molecular_only=True, photon_kT=None, seed=None):
@@ -151,13 +172,42 @@ class Simulation:
                 dt_ps = float(self.state.dt) * PhysicalConstants.TIME_PS_CONVERSION
                 est = int(np.ceil(remaining_ps / max(dt_ps, 1e-30)))
                 chunk = min(self.chunk_size, max(1, est))
-            self.state, obs = self._run_chunk(self.state, chunk)
-            obs_np = {k: np.asarray(v) for k, v in obs.items()}
-            if "cell_overflow" in obs_np and obs_np["cell_overflow"].any():
-                raise RuntimeError(
-                    "cell-list bucket overflow detected — increase "
-                    "cell_cap / skin in ForceField.create (results from "
-                    "this chunk are unreliable)"
+            pre_chunk_state = self.state
+            retries = 0
+            while True:
+                self.state, obs = self._run_chunk(self.state, chunk)
+                obs_np = {k: np.asarray(v) for k, v in obs.items()}
+                if not ("cell_overflow" in obs_np
+                        and obs_np["cell_overflow"].any()):
+                    break
+                # overflow recovery: results from this chunk dropped pairs —
+                # re-plan with a doubled bucket capacity and retry the chunk
+                # from its starting state (up to 4 doublings = 16x capacity)
+                retries += 1
+                if retries > 4:
+                    raise RuntimeError(
+                        "cell-list bucket overflow persists after 4 "
+                        "capacity doublings — system density is collapsing "
+                        "or the configuration is pathological"
+                    )
+                new_cap = self._grow_cell_capacity()
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "cell-list overflow: re-planned with cap=%d, "
+                    "retrying chunk", new_cap,
+                )
+                self.state = pre_chunk_state.replace(
+                    cell_list=(
+                        jax.jit(self.ff.build_cells)(
+                            pre_chunk_state.position, pre_chunk_state.box_L
+                        )
+                        if pre_chunk_state.cell_list is not None else None
+                    ),
+                    cell_anchor=(
+                        pre_chunk_state.position
+                        if pre_chunk_state.cell_list is not None else None
+                    ),
                 )
             for tracker in self.trackers:
                 tracker.consume(obs_np)

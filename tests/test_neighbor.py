@@ -157,3 +157,42 @@ def test_small_cell_grid_no_double_count():
     assert float(e1["ewald_short"]) == pytest.approx(
         float(e2["ewald_short"]), rel=1e-10)
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-11)
+
+
+def test_carried_cell_list_trajectory_matches_per_step_rebuild():
+    """skin > 0 (carried CellList, displacement-triggered rebuilds) must
+    produce the same trajectory as skin = 0 (per-step rebuild) — the skin
+    only changes WHEN buckets rebuild, never which pairs interact."""
+    import jax
+
+    from cavmd_tpu.core import PhysicalConstants as PC
+    from cavmd_tpu.core import add_cavity_particle, make_diatomic_system
+    from cavmd_tpu.integrate import (
+        ForceField, MethodSpec, init_state, make_step_fn, resolve_methods,
+        run_steps,
+    )
+
+    snap = make_diatomic_system(40, box_L=36.0, temperature_K=100.0, seed=11)
+    snap = add_cavity_particle(
+        snap, coupling=1e-3, freq_cm1=2000.0, temperature_K=100.0, seed=12
+    )
+    kT = PC.kT_from_kelvin(100.0)
+    methods_spec = (
+        MethodSpec(kind="bussi", group="molecular", kT=kT,
+                   tau=PC.ps_to_atomic_units(5.0)),
+        MethodSpec(kind="langevin", group="cavity", kT=kT,
+                   gamma=PC.gamma_from_tau_ps(5.0)),
+    )
+    finals = []
+    for skin in (0.0, 0.5):
+        ff = ForceField.create(
+            snap, coupling=1e-3, pair_mode="cell", r_cut=10.0,
+            pppm_mesh=(8, 8, 8), cell_skin=skin,
+        )
+        methods = resolve_methods(snap, methods_spec, ff.l_typeid)
+        step = make_step_fn(ff, methods)
+        state = init_state(snap, ff, dt=PC.fs_to_atomic_units(0.5), seed=5)
+        assert (state.cell_list is not None) == (skin > 0)
+        final, _ = jax.jit(lambda s: run_steps(step, s, 60))(state)
+        finals.append(np.asarray(final.position))
+    np.testing.assert_allclose(finals[0], finals[1], rtol=1e-12, atol=1e-12)

@@ -306,6 +306,36 @@ def test_exclusion_autosize_polyatomic():
     assert empty.shape == (4, 1) and (empty == 3).all()
 
 
+def test_cell_overflow_recovery(tmp_path, monkeypatch):
+    """A bucket overflow must not abort the run: the runner re-plans with a
+    larger capacity and retries the chunk (production engines recover)."""
+    monkeypatch.chdir(tmp_path)
+    snap = make_diatomic_system(30, box_L=22.0, temperature_K=100.0, seed=41)
+    snap = add_cavity_particle(
+        snap, coupling=1e-3, freq_cm1=2000.0, temperature_K=100.0, seed=42
+    )
+    # cap=2 is guaranteed to overflow (~8 particles/cell here)
+    ff = ForceField.create(
+        snap, coupling=1e-3, pair_mode="cell", r_cut=8.0, cell_cap=2,
+        pppm_mesh=(8, 8, 8),
+    )
+    kT = PC.kT_from_kelvin(100.0)
+    sim = Simulation(
+        snap, ff,
+        methods=[MethodSpec(kind="bussi", group="molecular", kT=kT,
+                            tau=PC.ps_to_atomic_units(5.0)),
+                 MethodSpec(kind="langevin", group="cavity", kT=kT,
+                            gamma=PC.gamma_from_tau_ps(5.0))],
+        dt=PC.fs_to_atomic_units(0.5), seed=7, chunk_size=20,
+    )
+    cap0 = sim.ff.cell_cfg[1]
+    sim.run(n_steps=40)
+    assert sim.timestep == 40
+    assert sim.ff.cell_cfg[1] > cap0  # capacity was grown, run completed
+    # physics sane after recovery: positions finite
+    assert np.isfinite(np.asarray(sim.state.position)).all()
+
+
 def test_gsd_indexed_reader_random_access(tmp_path):
     """Chunk lookups are dict-indexed: any (frame, name) resolves without a
     full index scan, including after reopening the file."""

@@ -80,3 +80,47 @@ def test_forcefield_pallas_mode():
     scale = float(jnp.abs(f1).max())
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=3e-6 * scale)
     assert float(e2["lj"]) == pytest.approx(float(e1["lj"]), rel=1e-4, abs=1e-8)
+
+
+def test_pallas_cell_kernel_matches_xla():
+    """Fused cell Pallas kernel (interpret mode) vs the XLA tile path:
+    forces and both energies must agree to f32 roundoff."""
+    from cavmd_tpu.ops.neighbor import (
+        CellListConfig,
+        build_cell_list,
+        cell_pair_force,
+        make_fused_cell_kernel,
+    )
+    from cavmd_tpu.ops.pallas_kernels import CellPallasPack, fused_cell_pallas
+
+    snap = make_diatomic_system(60, box_L=40.0, temperature_K=100.0, seed=3)
+    snap = add_cavity_particle(
+        snap, coupling=1e-3, freq_cm1=2000.0, temperature_K=100.0, seed=4
+    )
+    snap = snap.astype(jnp.float32)
+    ff = ForceField.create(
+        snap, coupling=1e-3, pair_mode="cell", r_cut=12.0,
+        pppm_mesh=(8, 8, 8), dtype=jnp.float32,
+    )
+    assert ff.cell_pallas_pack is not None  # uniform cutoff -> pack built
+    cfg = CellListConfig(*ff.cell_cfg)
+    clist = build_cell_list(snap.position, snap.box_L, cfg, ff.cell_neighbors)
+
+    kern = make_fused_cell_kernel(
+        ff.lj_eps, ff.lj_sigma, ff.lj_rcut, ff.kappa, ff.n_types,
+        uniform_rcut=ff.uniform_rcut,
+    )
+    f_ref, (elj_ref, eew_ref) = cell_pair_force(
+        snap.position, snap.box_L, clist, cfg, kern,
+        features=ff.cell_features, exclusions=ff.cell_exclusions,
+        cell_block=ff.cell_block,
+    )
+    f_p, elj_p, eew_p = fused_cell_pallas(
+        snap.position, snap.box_L, clist, cfg, ff.cell_pallas_pack,
+        ff.kappa, interpret=True,
+    )
+    scale = float(jnp.abs(f_ref).max())
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
+                               atol=2e-5 * scale)
+    assert float(elj_p) == pytest.approx(float(elj_ref), rel=1e-5)
+    assert float(eew_p) == pytest.approx(float(eew_ref), rel=1e-3, abs=1e-9)
