@@ -62,7 +62,7 @@ class CavityMDSimulation:
         energy_output_period_ps=0.1, fkt_output_period_ps=1.0,
         gsd_output_period_ps=50.0, console_output_period_ps=1.0,
         truncate_gsd=False, seed=None, n_molecules=250, box_L=46.0,
-        chunk_size=500, precision="f64",
+        chunk_size=500, precision="f64", shard_atoms=0, pad_atoms=0,
     ):
         self.job_dir = job_dir
         self.replica = replica
@@ -102,6 +102,8 @@ class CavityMDSimulation:
         self.box_L = box_L
         self.chunk_size = chunk_size
         self.precision = precision
+        self.shard_atoms = shard_atoms
+        self.pad_atoms = pad_atoms
         self.logger = None
         self.sim = None
 
@@ -245,6 +247,21 @@ class CavityMDSimulation:
                 raise ValueError(
                     f"Expected exactly 1 cavity particle but found {n_cav}"
                 )
+        # atoms-axis sharded production (VERDICT r1 item 3): pad N to the
+        # shard multiple with inert ghosts, then shard the state over a
+        # 1 x shard_atoms device mesh. --pad-atoms pads WITHOUT sharding
+        # (RNG draws are N-shaped, so a padded single-device run is the
+        # bitwise comparator for a sharded one).
+        pad_mult = max(self.shard_atoms, self.pad_atoms)
+        if pad_mult > 1:
+            from cavmd_tpu.parallel import pad_snapshot_to
+
+            snap, pad = pad_snapshot_to(snap, pad_mult)
+            if pad:
+                self.log_info(
+                    f"Padded {pad} ghost particles (N={snap.N}) for "
+                    f"{pad_mult}-way atom sharding"
+                )
         self.snapshot = snap
 
     def _setup_forces_and_methods(self):
@@ -337,7 +354,13 @@ class CavityMDSimulation:
             adaptive_period=min(adaptive_period, self.chunk_size),
             chunk_size=self.chunk_size,
             extra_obs=extra,
+            shard_atoms=self.shard_atoms,
         )
+        if self.shard_atoms > 1:
+            self.log_info(
+                f"Sharded production: particle arrays over "
+                f"{self.shard_atoms} devices (mesh 1x{self.shard_atoms})"
+            )
         self.sim.thermalize(self.kT)
         self.log_info("Thermalized molecular momenta (+ photon velocity)")
 
@@ -380,9 +403,11 @@ class CavityMDSimulation:
         fkt_period = max(1, int(self.fkt_output_period_ps / dt_ps_nominal))
 
         if self.enable_energy_tracking:
-            n_dof = 3 * int(
-                np.sum(np.asarray(self.snapshot.typeid) != self.ff.l_typeid)
-            )
+            tid = np.asarray(self.snapshot.typeid)
+            real_mol = tid != self.ff.l_typeid
+            if self.ff.ghost_typeid >= 0:
+                real_mol &= tid != self.ff.ghost_typeid
+            n_dof = 3 * int(np.sum(real_mol))
             self.sim.trackers.append(EnergyTracker(
                 output_prefix=prefix,
                 output_period_steps=energy_period,
@@ -459,9 +484,11 @@ def run_vmapped_replicas(args, replica_list):
     (SURVEY.md §2.4 replica parallelism; BASELINE config
     'Replica batch --replicas 1-8 vmapped on one chip').
 
-    Per-replica PRNG streams and thermal velocities; per-replica output
-    files (energy tracker + final GSD frame) with the same naming as the
-    sequential path.
+    Runs the COMPLETE per-replica workflow of the sequential path
+    (reference 05_advanced_run.py:1353-1439): adaptive dt with per-replica
+    optimal-dt bootstrap, energy + cavity-mode trackers, F(k,t) and dipole
+    autocorrelation, periodic per-replica GSD frames — all from one
+    vmapped scanned program with per-replica PRNG streams.
     """
     import jax
 
@@ -477,10 +504,20 @@ def run_vmapped_replicas(args, replica_list):
     from cavmd_tpu.core.system import make_diatomic_system
     from cavmd_tpu.core.units import PhysicalConstants as PC
     from cavmd_tpu.integrate import (
-        ForceField, MethodSpec, make_step_fn, resolve_methods,
+        ForceField, make_step_fn, resolve_methods,
+    )
+    from cavmd_tpu.integrate.adaptive import (
+        compute_optimal_dt, make_adaptive_step,
     )
     from cavmd_tpu.io import HOOMDTrajectory
-    from cavmd_tpu.observe import EnergyTracker
+    from cavmd_tpu.observe import (
+        CavityModeTracker,
+        DipoleAutocorrelation,
+        EnergyTracker,
+        FieldAutocorrelationTracker,
+        generate_fibonacci_sphere,
+        make_extra_obs,
+    )
     from cavmd_tpu.parallel import (
         init_replica_states, run_replica_steps, split_replica_obs,
     )
@@ -515,47 +552,124 @@ def run_vmapped_replicas(args, replica_list):
                                         args.cavity_tau,
                                         args))
         methods = resolve_methods(snap, tuple(methods), ff.l_typeid)
-        step = make_step_fn(ff, methods)
+
+        extra = None
+        if args.enable_fkt:
+            wv = generate_fibonacci_sphere(args.fkt_wavevectors) * args.fkt_kmag
+            extra = make_extra_obs(dipole=True, wavevectors=wv)
+        step = make_step_fn(ff, methods, extra_obs=extra)
+
+        # adaptive dt inside the vmapped scan (each replica carries its own
+        # dt/tolerance ramp), parity with the sequential path
+        error_tolerance = 0.0 if args.fixed_timestep else 1.0
+        dt_ps_nominal = 0.0001 if error_tolerance > 0 else args.timestep / 1000.0
+        chunk = 500
+        if error_tolerance > 0:
+            adaptive_period = max(1, int(
+                args.energy_output_period_ps / dt_ps_nominal
+            ))
+            step = make_adaptive_step(
+                step, error_tolerance=error_tolerance,
+                period=min(adaptive_period, chunk),
+            )
 
         n_rep = len(replica_list)
-        dt = PC.fs_to_atomic_units(args.timestep if args.fixed_timestep else 0.25)
+        dt = PC.fs_to_atomic_units(args.timestep if args.fixed_timestep else 0.1)
         batched = init_replica_states(
             snap, ff, n_replicas=n_rep, dt=dt, seed=args.seed, kT=kT,
+            error_tolerance=error_tolerance,
         )
-        n_dof = 3 * int(np.sum(np.asarray(snap.typeid) != ff.l_typeid))
-        trackers = [
-            EnergyTracker(output_prefix=f"prod-{r}", output_period_steps=100,
-                          n_molecular_dof=n_dof)
-            for r in replica_list
-        ]
+        if error_tolerance > 0:
+            # per-replica optimal-dt bootstrap (reference Phase 3.5,
+            # 05_advanced_run.py:756-819) from each replica's initial forces
+            tol0 = error_tolerance * 1e-3
+            dts = jax.vmap(
+                lambda f, m: compute_optimal_dt(f, m, tol0)
+            )(batched.forces, batched.mass)
+            batched = batched.replace(dt=dts.astype(batched.dt.dtype))
+
+        tid = np.asarray(snap.typeid)
+        n_dof = 3 * int(np.sum(tid != ff.l_typeid))
+        energy_period = max(1, int(args.energy_output_period_ps / dt_ps_nominal))
+        fkt_period = max(1, int(args.fkt_output_period_ps / dt_ps_nominal))
+        trackers = []  # list of per-replica tracker lists
+        for r in replica_list:
+            per_rep = [EnergyTracker(
+                output_prefix=f"prod-{r}",
+                output_period_steps=energy_period, n_molecular_dof=n_dof,
+            )]
+            if incavity:
+                per_rep.append(CavityModeTracker(
+                    output_prefix=f"prod-{r}",
+                    output_period_steps=energy_period,
+                ))
+            if args.enable_fkt:
+                per_rep.append(FieldAutocorrelationTracker(
+                    output_prefix=f"prod-{r}",
+                    output_period_steps=fkt_period,
+                    reference_interval_ps=args.fkt_ref_interval,
+                    max_references=args.fkt_max_refs,
+                ))
+                per_rep.append(DipoleAutocorrelation(
+                    output_prefix=f"prod-{r}_dipole_autocorr",
+                    output_period_steps=fkt_period,
+                ))
+            trackers.append(per_rep)
+
+        # per-replica periodic trajectory writers (not just final frames)
+        gsd_files = [HOOMDTrajectory(f"prod-{r}.gsd", "w")
+                     for r in replica_list]
+        last_gsd_ps = np.full(n_rep, -1e30)
+
+        def write_frames(batched_state, force=False):
+            pos = np.asarray(batched_state.position)
+            img = np.asarray(batched_state.image)
+            vel = np.asarray(batched_state.velocity)
+            ts = np.asarray(batched_state.timestep)
+            el = np.asarray(batched_state.time_au) * PC.TIME_PS_CONVERSION
+            for k in range(n_rep):
+                if (force and el[k] > last_gsd_ps[k]) or (
+                    el[k] - last_gsd_ps[k] >= args.gsd_output_period_ps
+                ):
+                    gsd_files[k].append(
+                        snap.replace(position=pos[k], image=img[k],
+                                     velocity=vel[k]),
+                        step=int(ts[k]),
+                    )
+                    last_gsd_ps[k] = el[k]
+
+        write_frames(batched, force=True)  # initial frames
 
         runner = jax.jit(
             lambda s, n: run_replica_steps(step, s, n), static_argnums=(1,)
         )
-        chunk = 500
-        total_ps = 0.0
         t0 = time.time()
-        while total_ps < args.runtime:
-            batched, obs = runner(batched, chunk)
+        while True:
+            elapsed = np.asarray(batched.time_au) * PC.TIME_PS_CONVERSION
+            remaining = args.runtime - elapsed
+            if (remaining <= 0).all():
+                break
+            # trim the chunk to the slowest-clock unfinished replica so no
+            # replica overshoots runtime_ps by more than ~1 step
+            dt_ps = np.asarray(batched.dt) * PC.TIME_PS_CONVERSION
+            live = remaining > 0
+            est = int(np.ceil(
+                (remaining[live] / np.maximum(dt_ps[live], 1e-30)).min()
+            ))
+            batched, obs = runner(batched, min(chunk, max(1, est)))
             per = split_replica_obs(obs, n_rep)
-            for tr, o in zip(trackers, per):
-                tr.consume(o)
-            total_ps = float(np.asarray(obs["time_au"])[-1, 0]) * PC.TIME_PS_CONVERSION
+            for per_rep, o in zip(trackers, per):
+                for tr in per_rep:
+                    tr.consume(o)
+            write_frames(batched)
         wall = time.time() - t0
         steps = int(np.asarray(batched.timestep)[0])
         print(f"vmapped {n_rep} replicas x {steps} steps in {wall:.1f}s "
               f"({n_rep * steps / max(wall, 1e-9):.0f} aggregate steps/s)")
 
-        # final per-replica GSD frames
-        pos = np.asarray(batched.position)
-        img = np.asarray(batched.image)
-        vel = np.asarray(batched.velocity)
-        for k, r in enumerate(replica_list):
-            out = snap.replace(
-                position=pos[k], image=img[k], velocity=vel[k],
-            )
-            with HOOMDTrajectory(f"prod-{r}.gsd", "w") as t:
-                t.append(out, step=steps)
+        write_frames(batched, force=True)  # final frames
+        for f in gsd_files:
+            f.close()
         return True
     finally:
         os.chdir(cwd)
@@ -632,6 +746,8 @@ def run_single_experiment(args, replica, frame):
         seed=args.seed + replica if args.seed is not None else None,
         n_molecules=args.n_molecules,
         precision=args.precision,
+        shard_atoms=args.shard_atoms,
+        pad_atoms=args.pad_atoms,
     )
     return sim.run() == 0
 
@@ -677,6 +793,14 @@ def build_parser():
                         help="advance all replicas as one vmapped batch "
                              "on one chip (generated scene; per-replica "
                              "energy trackers + final GSD frames)")
+    parser.add_argument("--shard-atoms", type=int, default=0,
+                        help="shard particle arrays over this many devices "
+                             "(1 x K mesh; N is ghost-padded to a multiple "
+                             "of K; XLA inserts the dipole/KE/PPPM psums)")
+    parser.add_argument("--pad-atoms", type=int, default=0,
+                        help="ghost-pad N to a multiple WITHOUT sharding "
+                             "(single-device bitwise comparator for "
+                             "--shard-atoms runs; RNG draws are N-shaped)")
     parser.add_argument("--input-gsd", type=str, default="../init-0.gsd")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--n-molecules", type=int, default=250,

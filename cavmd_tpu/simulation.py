@@ -51,6 +51,7 @@ class Simulation:
         adaptive_period: int = 1,
         extra_obs: Callable | None = None,
         chunk_size: int = 1000,
+        shard_atoms: int = 0,
     ):
         self.snapshot = snapshot
         self.ff = forcefield
@@ -60,6 +61,23 @@ class Simulation:
         self.trackers: list = []
         self.writers: list = []
 
+        # atoms-axis sharding (SURVEY.md §2.4 spatial decomposition): the
+        # same fused step jitted with particle-array shardings over a
+        # 1 x shard_atoms mesh; GSPMD inserts the psums (dipole, group KE,
+        # PPPM grid). Snapshot N must already be padded to a multiple of
+        # shard_atoms (parallel.pad_snapshot_to).
+        self.mesh = None
+        if shard_atoms > 1:
+            from cavmd_tpu.parallel.mesh import make_mesh
+
+            if snapshot.N % shard_atoms != 0:
+                raise ValueError(
+                    f"N={snapshot.N} not divisible by shard_atoms="
+                    f"{shard_atoms}; pad the snapshot first "
+                    "(cavmd_tpu.parallel.pad_snapshot_to)"
+                )
+            self.mesh = make_mesh(n_replica=1, n_atoms_shards=shard_atoms)
+
         self._adaptive_kwargs = dict(
             error_tolerance=error_tolerance,
             initial_fraction=adaptive_initial_fraction,
@@ -67,11 +85,15 @@ class Simulation:
             period=adaptive_period,
         )
         self._extra_obs = extra_obs
-        self._build_runner()
         self.state: MDState = init_state(
             snapshot, forcefield, dt=dt, seed=seed,
             error_tolerance=error_tolerance,
         )
+        self._build_runner()
+        if self.mesh is not None:
+            from cavmd_tpu.parallel.shard import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
         self.error_tolerance = error_tolerance
 
     def _build_runner(self):
@@ -81,10 +103,20 @@ class Simulation:
         if self._adaptive_kwargs["error_tolerance"] > 0:
             step = make_adaptive_step(step, **self._adaptive_kwargs)
         self._step = step
-        self._run_chunk = jax.jit(
-            lambda state, n: run_steps(self._step, state, n),
-            static_argnums=(1,),
-        )
+        if self.mesh is not None:
+            from cavmd_tpu.parallel.mesh import state_shardings
+
+            shardings = state_shardings(self.mesh, self.state, batched=False)
+            self._run_chunk = jax.jit(
+                lambda state, n: run_steps(self._step, state, n),
+                static_argnums=(1,),
+                in_shardings=(shardings,),
+            )
+        else:
+            self._run_chunk = jax.jit(
+                lambda state, n: run_steps(self._step, state, n),
+                static_argnums=(1,),
+            )
 
     def _grow_cell_capacity(self):
         """Re-plan the cell list with 1.5x bucket capacity (overflow
@@ -110,14 +142,18 @@ class Simulation:
         key = stream_key(master_key(seed), STREAM_THERMALIZE, 0)
         typeid = np.asarray(self.state.typeid)
         l_typeid = self.ff.l_typeid
-        mol_mask = (
-            (self.state.typeid != l_typeid)
-            if molecular_only
-            else np.ones_like(typeid, bool)
-        )
         import jax.numpy as jnp
 
-        v = thermalize_velocities(key, self.state.mass, jnp.asarray(mol_mask), kT)
+        # sharding-padding ghosts stay frozen: their 1e30 pinning mass would
+        # dominate the drift-removal momentum sum
+        from cavmd_tpu.integrate.integrator import group_mask
+
+        mol_mask = group_mask(
+            self.state.typeid, l_typeid,
+            "molecular" if molecular_only else "all",
+            self.ff.ghost_typeid,
+        )
+        v = thermalize_velocities(key, self.state.mass, mol_mask, kT)
         if molecular_only and l_typeid >= 0 and (typeid == l_typeid).any():
             k2 = stream_key(master_key(seed), STREAM_THERMALIZE, 1)
             pk = photon_kT if photon_kT is not None else kT
@@ -228,9 +264,29 @@ class Simulation:
     def elapsed_ps(self) -> float:
         return float(self.state.time_au) * PhysicalConstants.TIME_PS_CONVERSION
 
-    def get_snapshot(self) -> Snapshot:
-        """Export the current state as a Snapshot (GSD-compatible)."""
+    def get_snapshot(self, *, strip_ghosts: bool = True) -> Snapshot:
+        """Export the current state as a Snapshot (GSD-compatible).
+
+        Sharding-padding ghost rows are dropped by default so trajectory
+        files contain only physical particles (padding is re-applied on
+        resume by the driver). Ghosts are appended after all real rows by
+        ``pad_snapshot_to``, so bond indices stay valid under the slice.
+        """
         s = self.state
-        return self.snapshot.replace(
+        snap = self.snapshot.replace(
             position=s.position, image=s.image, velocity=s.velocity,
         )
+        gid = self.ff.ghost_typeid
+        if strip_ghosts and gid >= 0:
+            n_real = int(np.sum(np.asarray(snap.typeid) != gid))
+            snap = snap.replace(
+                position=snap.position[:n_real],
+                image=snap.image[:n_real],
+                velocity=snap.velocity[:n_real],
+                mass=snap.mass[:n_real],
+                charge=snap.charge[:n_real],
+                diameter=snap.diameter[:n_real],
+                typeid=snap.typeid[:n_real],
+                types=tuple(t for t in snap.types if t != "__ghost__"),
+            )
+        return snap

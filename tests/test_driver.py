@@ -86,21 +86,95 @@ def test_resume_from_frame(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_shard_atoms_matches_single_device(tmp_path, monkeypatch):
+    """--shard-atoms 8: full driver workflow (adaptive dt, energy tracker,
+    F(k,t), GSD) with particle arrays sharded over the virtual 8-CPU mesh.
+    The trajectory and the tracker files must match a single-device run on
+    the same ghost-padded system (--pad-atoms 8 — the bitwise comparator,
+    since RNG draws are N-shaped). VERDICT r1 item 3."""
+    common = [
+        "--runtime", "0.01", "--device", "CPU", "--n-molecules", "12",
+        "--enable-energy-tracker", "--enable-fkt",
+        "--fkt-wavevectors", "6", "--fkt-ref-interval", "0.005",
+        "--energy-output-period-ps", "0.001",
+        "--fkt-output-period-ps", "0.001",
+        "--gsd-output-period-ps", "0.005",
+    ]
+    sharded_dir = tmp_path / "sharded"
+    single_dir = tmp_path / "single"
+    sharded_dir.mkdir()
+    single_dir.mkdir()
+    monkeypatch.chdir(sharded_dir)
+    assert main(common + ["--shard-atoms", "8"]) == 0
+    monkeypatch.chdir(single_dir)
+    assert main(common + ["--pad-atoms", "8"]) == 0
+
+    from cavmd_tpu.io import open_gsd
+
+    out_s = sharded_dir / "cavity_coupling_1eneg03"
+    out_1 = single_dir / "cavity_coupling_1eneg03"
+    with open_gsd(str(out_s / "prod-1.gsd")) as ts, \
+         open_gsd(str(out_1 / "prod-1.gsd")) as t1:
+        assert len(ts) == len(t1)
+        fs, f1 = ts[-1], t1[-1]
+        # ghost rows stripped from output: only physical particles
+        assert fs.N == 25  # 24 atoms + photon
+        np.testing.assert_allclose(
+            np.asarray(fs.position), np.asarray(f1.position),
+            rtol=1e-10, atol=1e-10,
+        )
+
+    def rows(path):
+        return np.array([
+            l.split() for l in open(path)
+            if not l.startswith("#") and not l.startswith("time")
+        ], float)
+
+    es, e1 = (rows(d / "prod-1_energy_tracker.txt") for d in (out_s, out_1))
+    np.testing.assert_allclose(es, e1, rtol=1e-8, atol=1e-10)
+    # F(k,t) over sharded obs: same reference files, same values
+    ks, k1 = (rows(d / "prod-1_ref0.txt") for d in (out_s, out_1))
+    np.testing.assert_allclose(ks, k1, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.slow
 def test_vmap_replicas(tmp_path, monkeypatch):
-    """--vmap-replicas: batched trajectories, per-replica output files."""
+    """--vmap-replicas with the FULL workflow: adaptive dt, F(k,t) + dipole
+    autocorrelation, periodic per-replica GSD frames (VERDICT r1 item 5)."""
     monkeypatch.chdir(tmp_path)
     rc = main([
-        "--vmap-replicas", "--replicas", "1-3", "--runtime", "0.005",
+        "--vmap-replicas", "--replicas", "1-3", "--runtime", "0.01",
         "--device", "CPU", "--n-molecules", "10",
+        "--enable-fkt", "--fkt-wavevectors", "6",
+        "--fkt-ref-interval", "0.004", "--fkt-output-period-ps", "0.001",
+        "--energy-output-period-ps", "0.001",
+        "--gsd-output-period-ps", "0.004",
     ])
     assert rc == 0
     out = tmp_path / "cavity_coupling_1eneg03"
     for r in (1, 2, 3):
         assert (out / f"prod-{r}.gsd").exists()
         assert (out / f"prod-{r}_energy_tracker.txt").exists()
-    # replicas decorrelate: final positions differ between replicas
+        assert (out / f"prod-{r}_cavity_mode.txt").exists()
+        # F(k,t) multi-reference files, same format as the sequential path
+        assert (out / f"prod-{r}_ref0.txt").exists()
+        assert (out / f"prod-{r}_ref1.txt").exists()  # second reference fired
+        assert (out / f"prod-{r}_dipole_autocorr_0.txt").exists()
+        ref0 = [l for l in open(out / f"prod-{r}_ref0.txt")
+                if not l.startswith("#")]
+        assert len(ref0) > 2  # C(t) rows accumulated
+        assert len(ref0[0].split()) == 3  # timestep lag_time(ps) field_autocorr
+    rows = np.array([
+        l.split() for l in open(out / "prod-1_energy_tracker.txt")
+        if not l.startswith("#") and not l.startswith("time")
+    ], float)
+    assert len(rows) >= 5  # energy audit rows at the requested period
+    # periodic trajectory frames (not just initial+final)
     from cavmd_tpu.io import open_gsd
 
+    with open_gsd(str(out / "prod-1.gsd")) as t1:
+        assert len(t1) >= 3
+    # replicas decorrelate: final positions differ between replicas
     with open_gsd(str(out / "prod-1.gsd")) as t1, \
          open_gsd(str(out / "prod-2.gsd")) as t2:
         p1 = np.asarray(t1[-1].position)
