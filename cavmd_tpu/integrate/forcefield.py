@@ -28,6 +28,7 @@ from cavmd_tpu.ops.cavity import CavityParams, cavity_force
 from cavmd_tpu.ops.ewald import (
     auto_kappa,
     ewald_exclusion_correction,
+    ewald_exclusion_correction_incidence,
     ewald_real_space_pair,
     ewald_self_energy,
 )
@@ -47,7 +48,7 @@ from cavmd_tpu.ops.neighbor import (
     neighbor_cell_table,
     plan_cells,
 )
-from cavmd_tpu.ops.pppm import PPPMParams, pppm_reciprocal_energy
+from cavmd_tpu.ops.pppm import PPPMParams, make_pppm_force_energy
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,8 +63,8 @@ class ForceField:
     excl_mask: jnp.ndarray  # (N,N) bool — bonded-pair exclusions (dense path)
     # cavity
     cavity: CavityParams
-    # electrostatics — precomputed charge products + static active mask
-    qq_pair: jnp.ndarray  # (N,N)
+    # electrostatics — static active mask; qq is formed on the fly from the
+    # charge vector (rank-1, fuses into the pair loop — no (N,N) HBM reads)
     coulomb_active: jnp.ndarray  # (N,N) bool
     kappa: jnp.ndarray
     pppm: PPPMParams
@@ -72,6 +73,7 @@ class ForceField:
     bond_gj: jnp.ndarray = None
     bond_k_per: jnp.ndarray = None  # (Nb,) per-bond parameters
     bond_r0_per: jnp.ndarray = None
+    bond_qq_per: jnp.ndarray = None  # (Nb,) q_i*q_j for exclusion corr
     # cell-list backend data (None-shaped placeholders in dense mode)
     lj_eps: jnp.ndarray = None  # (T,T) type tables for the cell kernels
     lj_sigma: jnp.ndarray = None
@@ -188,10 +190,20 @@ class ForceField:
             if use_pallas_cells:
                 # hand-fused Pallas tile pass: all intermediates in VMEM
                 # (the XLA tile path materializes several (C, cap, 27cap)
-                # tensors to HBM; measured 2.7-3x slower at N=100k)
-                from cavmd_tpu.ops.pallas_kernels import fused_cell_pallas
+                # tensors to HBM; measured 2.7-3x slower at N=100k).
+                # Column-resident variant when the cell grid allows it —
+                # kills the (C,27,cap,R) j-gather+transpose (9-10 ms/step
+                # at N=100k, measured; see fused_cell_cols_pallas)
+                from cavmd_tpu.ops.pallas_kernels import (
+                    fused_cell_cols_pallas,
+                    fused_cell_pallas,
+                )
 
-                f, e_lj, e_ew = fused_cell_pallas(
+                cell_fn = (
+                    fused_cell_cols_pallas
+                    if min(cfg.ncells) >= 3 else fused_cell_pallas
+                )
+                f, e_lj, e_ew = cell_fn(
                     position, box_L, clist, cfg, self.cell_pallas_pack,
                     self.kappa,
                 )
@@ -248,8 +260,9 @@ class ForceField:
             # fused pass: one shared (N,N) distance computation
             from cavmd_tpu.ops.lj import fused_pair_force
 
+            qq = charge[..., :, None] * charge[..., None, :]
             f, e_lj, e_ew = fused_pair_force(
-                position, box_L, self.lj_pair, self.qq_pair,
+                position, box_L, self.lj_pair, qq,
                 self.coulomb_active, self.kappa, self.coulomb_rcut,
             )
             forces = forces + f
@@ -262,23 +275,33 @@ class ForceField:
                 energies["lj"] = e
 
             if self.enable_coulomb:
+                qq = charge[..., :, None] * charge[..., None, :]
                 f, e = ewald_real_space_pair(
-                    position, box_L, self.qq_pair, self.coulomb_active,
+                    position, box_L, qq, self.coulomb_active,
                     self.kappa, self.coulomb_rcut,
                 )
                 forces = forces + f
                 energies["ewald_short"] = e
 
         if self.enable_coulomb:
-
-            e_rec, grad = jax.value_and_grad(pppm_reciprocal_energy)(
-                position, charge, box_L, self.pppm, self.pppm_order, self.pppm_mesh
+            # vmap-aware op: under the replica-batched step the custom_vmap
+            # rule folds the batch into the DFT matmul columns instead of
+            # letting vmap shred them into B tiny matmuls (VERDICT r1 #4)
+            pppm_fe = make_pppm_force_energy(
+                self.pppm_order, tuple(self.pppm_mesh)
             )
-            f_corr, e_corr = ewald_exclusion_correction(
-                position, box_L, charge, self.kappa, bond_group
-            )
+            f_rec, e_rec = pppm_fe(position, charge, box_L, self.pppm)
+            if self.bond_gi is not None:
+                f_corr, e_corr = ewald_exclusion_correction_incidence(
+                    position, box_L, self.bond_gi, self.bond_gj,
+                    self.bond_qq_per, self.kappa,
+                )
+            else:
+                f_corr, e_corr = ewald_exclusion_correction(
+                    position, box_L, charge, self.kappa, bond_group
+                )
             e_self = ewald_self_energy(charge, self.kappa)
-            forces = forces - grad - f_corr
+            forces = forces + f_rec - f_corr
             energies["ewald_long"] = e_rec - e_self - e_corr
 
         for i, custom in enumerate(self.custom_forces):
@@ -343,7 +366,7 @@ class ForceField:
 
         # incidence-matmul bond path for small systems (see bonds.py note)
         nb = snapshot.n_bonds
-        bond_gi = bond_gj = bond_k_per = bond_r0_per = None
+        bond_gi = bond_gj = bond_k_per = bond_r0_per = bond_qq_per = None
         if 0 < nb * snapshot.N <= 8_000_000:
             bond_gi, bond_gj = bond_incidence(
                 snapshot.N, snapshot.bond_group, dtype
@@ -351,6 +374,9 @@ class ForceField:
             btid = np.asarray(snapshot.bond_typeid)
             bond_k_per = jnp.asarray(np.asarray(bond_k)[btid], dtype)
             bond_r0_per = jnp.asarray(np.asarray(bond_r0)[btid], dtype)
+            bg = np.asarray(snapshot.bond_group)
+            q_np = np.asarray(snapshot.charge)
+            bond_qq_per = jnp.asarray(q_np[bg[:, 0]] * q_np[bg[:, 1]], dtype)
 
         types = list(snapshot.types)
         eps, sig, rcut_t = lj_pair_tables(
@@ -364,7 +390,7 @@ class ForceField:
             pair_mode = "dense" if snapshot.N <= 4096 else "cell"
         dense_like = pair_mode in ("dense", "pallas")
 
-        lj_pair = excl = qq_jnp = coulomb_active_jnp = None
+        lj_pair = excl = coulomb_active_jnp = None
         cell_fields = dict(
             lj_eps=eps, lj_sigma=sig, lj_rcut=rcut_t,
             cell_features=None, cell_exclusions=None, cell_neighbors=None,
@@ -381,7 +407,6 @@ class ForceField:
             coulomb_active = (
                 (~np.eye(snapshot.N, dtype=bool)) & (qq != 0) & ~np.asarray(excl)
             )
-            qq_jnp = jnp.asarray(qq, dtype)
             coulomb_active_jnp = jnp.asarray(coulomb_active)
         pallas_pack = None
         if pair_mode == "pallas":
@@ -461,10 +486,10 @@ class ForceField:
             bond_gj=bond_gj,
             bond_k_per=bond_k_per,
             bond_r0_per=bond_r0_per,
+            bond_qq_per=bond_qq_per,
             lj_pair=lj_pair,
             excl_mask=excl,
             cavity=cav,
-            qq_pair=qq_jnp,
             coulomb_active=coulomb_active_jnp,
             kappa=jnp.asarray(kappa_val, dtype),
             pppm=pppm,
@@ -494,9 +519,9 @@ jax.tree_util.register_dataclass(
     ForceField,
     data_fields=[
         "bond_k", "bond_r0",
-        "bond_gi", "bond_gj", "bond_k_per", "bond_r0_per",
+        "bond_gi", "bond_gj", "bond_k_per", "bond_r0_per", "bond_qq_per",
         "lj_pair", "excl_mask",
-        "cavity", "qq_pair", "coulomb_active", "kappa", "pppm",
+        "cavity", "coulomb_active", "kappa", "pppm",
         "lj_eps", "lj_sigma", "lj_rcut",
         "cell_features", "cell_exclusions", "cell_neighbors", "pallas_pack",
         "pair_inert", "cell_pallas_pack",

@@ -186,6 +186,46 @@ def ewald_exclusion_correction(position, box_L, charge, kappa, bond_group):
     return forces, energy
 
 
+def ewald_exclusion_correction_incidence(position, box_L, gi, gj, qq_b, kappa):
+    """Exclusion correction via bond-incidence matmuls (zero gathers).
+
+    Same physics as :func:`ewald_exclusion_correction`; the endpoint
+    gathers + force scatter-adds cost ~35 us/step at Nb=250 on v5e (XLA
+    serializes them, and under a vmapped replica batch they serialize per
+    replica) — with static topology the dataflow is the same four small
+    MXU matmuls as the incidence bond path (ops/bonds.py:18-35).
+
+    ``qq_b``: per-bond charge products q_i*q_j (Nb,), precomputed at setup.
+    """
+    dtype = position.dtype
+    kappa = jnp.asarray(kappa, dtype)
+    # HIGHEST: position-carrying matmuls must not round to bf16 (see
+    # ops/bonds.py heating-bug note)
+    hp = jax.lax.Precision.HIGHEST
+    pos_i = jnp.dot(gi, position, precision=hp, preferred_element_type=dtype)
+    pos_j = jnp.dot(gj, position, precision=hp, preferred_element_type=dtype)
+    dr = minimum_image(pos_i - pos_j, box_L)
+    r2 = jnp.sum(dr * dr, axis=1)
+    r = jnp.sqrt(r2)
+
+    erf_term = 1.0 - erfc(kappa * r)
+    energy = jnp.sum(qq_b * erf_term / r)
+
+    two_over_sqrt_pi = jnp.asarray(2.0 / math.sqrt(math.pi), dtype)
+    fmag = (
+        qq_b
+        * (
+            erf_term / r2
+            - kappa * two_over_sqrt_pi * jnp.exp(-(kappa * r) ** 2) / r
+        )
+        / r
+    )
+    f_i = fmag[:, None] * dr
+    forces = jnp.dot(gi.T, f_i, precision=hp, preferred_element_type=dtype) \
+        - jnp.dot(gj.T, f_i, precision=hp, preferred_element_type=dtype)
+    return forces, energy
+
+
 def kspace_vectors(box_L, nmax, dtype):
     """Integer reciprocal lattice grid (2*nmax+1)^3 as k-vectors (k != 0)."""
     import numpy as np

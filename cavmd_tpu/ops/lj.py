@@ -120,25 +120,72 @@ def lj_dense(
 
 
 class LJPairMatrices:
-    """Precomputed per-pair (N,N) parameter matrices for the dense path.
+    """Rank-T per-pair parameters for the dense path (virtual (N,N) tables).
 
-    TPU-native design note: indexing (T,T) tables with a typeid outer
-    product (``eps[typeid[:,None], typeid[None,:]]``) lowers to N^2
-    serialized scalar gathers on TPU (~2.6 ms/step at N=501, measured).
-    Type ids never change during a run, so every per-pair coefficient —
-    epsilon, sigma^2, r_cut^2, the cutoff energy shift, and the static
-    active mask (type pair enabled, not excluded, not self) — is
-    precomputed once at setup. The hot path is then pure elementwise VPU
-    work with zero gathers. Memory: 5 * N^2 * 4 B (5 MB at N=501); the
-    cell-list path covers large N.
+    TPU-native design notes (each measured on v5e):
+
+    - indexing (T,T) tables with a typeid outer product
+      (``eps[typeid[:,None], typeid[None,:]]``) lowers to N^2 serialized
+      scalar gathers on TPU (~2.6 ms/step at N=501) — never do that in
+      the hot loop.
+    - round 1 precomputed dense (N,N) f32 matrices instead. Correct, but
+      the hot pass then READS 4 * N^2 * 4 B of parameters from HBM per
+      force evaluation — ~4 MB at N=501, and per *replica* under the
+      vmapped batch (32 MB/step at B=8), which is pure bandwidth on the
+      usual TPU bottleneck.
+    - a type-pair table is rank-T by construction:
+      ``X[i,j] = rows_X[i, tid_j] = sum_t rows_X[i,t] * onehot[j,t]``.
+      So only the (N,T) row-gathers are precomputed and the (N,N)
+      matrices are *virtual* — rebuilt inside the fused elementwise loop
+      as T broadcast FMAs per table (T=3 for the reference workload).
+      HBM traffic drops from 4 f32 loads/pair to ~0 (the (N,T) factors
+      live in registers/VMEM across the tiled loop); the FMAs ride the
+      VPU, which has headroom — the pass is bandwidth-bound, not
+      FLOP-bound.
+
+    The static ``active`` mask (type pair enabled, not excluded, not
+    self) stays dense: bools are 1 B/pair and mix exclusion structure
+    that is not rank-T.
     """
 
-    def __init__(self, eps, sig2, rcut2, vshift, active):
-        self.eps = eps
-        self.sig2 = sig2
-        self.rcut2 = rcut2
-        self.vshift = vshift
-        self.active = active
+    def __init__(self, rows_eps, rows_sig2, rows_rcut2, rows_vshift, oh,
+                 active):
+        self.rows_eps = rows_eps
+        self.rows_sig2 = rows_sig2
+        self.rows_rcut2 = rows_rcut2
+        self.rows_vshift = rows_vshift
+        self.oh = oh  # (N,T) one-hot of typeid, parameter dtype
+        self.active = active  # (N,N) bool
+
+    def virtual(self):
+        """The four (N,N) parameter 'matrices' as lazy broadcast sums.
+
+        Returned values are sums of T rank-1 outer products of (N,)
+        columns — XLA fuses them into the consuming elementwise loop, so
+        nothing (N,N)-sized is materialized or read.
+        """
+        outs = []
+        for rows in (self.rows_eps, self.rows_sig2, self.rows_rcut2,
+                     self.rows_vshift):
+            T = rows.shape[1]
+            x = None
+            for t in range(T):
+                term = rows[:, t, None] * self.oh[None, :, t]
+                x = term if x is None else x + term
+            outs.append(x)
+        return tuple(outs)
+
+    def dense_numpy(self):
+        """Materialized (eps, sig2, rcut2, vshift) as NumPy — setup-time
+        only (the Pallas pack padder wants host arrays)."""
+        import numpy as np
+
+        oh = np.asarray(self.oh)
+        return tuple(
+            np.asarray(rows) @ oh.T
+            for rows in (self.rows_eps, self.rows_sig2, self.rows_rcut2,
+                         self.rows_vshift)
+        )
 
     @staticmethod
     def create(typeid, eps_table, sigma_table, rcut_table, exclusion_mask=None):
@@ -146,28 +193,36 @@ class LJPairMatrices:
 
         tid = np.asarray(typeid)
         n = len(tid)
-        eps = np.asarray(eps_table)[tid[:, None], tid[None, :]]
-        sig = np.asarray(sigma_table)[tid[:, None], tid[None, :]]
-        rc = np.asarray(rcut_table)[tid[:, None], tid[None, :]]
-        rc_safe = np.where(rc > 0, rc, 1.0)
-        src6 = (sig / rc_safe) ** 6
-        vshift = 4.0 * eps * (src6 * src6 - src6)
+        eps_t = np.asarray(eps_table)
+        sig_t = np.asarray(sigma_table)
+        rc_t = np.asarray(rcut_table)
+        rc_safe = np.where(rc_t > 0, rc_t, 1.0)
+        src6 = (sig_t / rc_safe) ** 6
+        vshift_t = 4.0 * eps_t * (src6 * src6 - src6)
+
+        eps = eps_t[tid[:, None], tid[None, :]]
+        rc = rc_t[tid[:, None], tid[None, :]]
         active = (~np.eye(n, dtype=bool)) & (eps != 0) & (rc > 0)
         if exclusion_mask is not None:
             active &= ~np.asarray(exclusion_mask)
+
         dtype = eps_table.dtype
+        T = eps_t.shape[0]
+        oh = (tid[:, None] == np.arange(T)[None, :]).astype(dtype)
         return LJPairMatrices(
-            eps=jnp.asarray(eps, dtype),
-            sig2=jnp.asarray(sig * sig, dtype),
-            rcut2=jnp.asarray(rc * rc, dtype),
-            vshift=jnp.asarray(vshift, dtype),
+            rows_eps=jnp.asarray(eps_t[tid], dtype),
+            rows_sig2=jnp.asarray((sig_t * sig_t)[tid], dtype),
+            rows_rcut2=jnp.asarray((rc_t * rc_t)[tid], dtype),
+            rows_vshift=jnp.asarray(vshift_t[tid], dtype),
+            oh=jnp.asarray(oh),
             active=jnp.asarray(active),
         )
 
 
 jax.tree_util.register_pytree_node(
     LJPairMatrices,
-    lambda m: ((m.eps, m.sig2, m.rcut2, m.vshift, m.active), None),
+    lambda m: ((m.rows_eps, m.rows_sig2, m.rows_rcut2, m.rows_vshift,
+                m.oh, m.active), None),
     lambda _, c: LJPairMatrices(*c),
 )
 
@@ -182,6 +237,7 @@ def lj_dense_pair(position, box_L, pair: LJPairMatrices):
     dtype = position.dtype
     zero = jnp.zeros((), dtype)
     box = jnp.asarray(box_L, dtype)
+    eps, sig2, rcut2, vshift = pair.virtual()
 
     dxs = []
     r2 = None
@@ -192,17 +248,17 @@ def lj_dense_pair(position, box_L, pair: LJPairMatrices):
         dxs.append(dx)
         r2 = dx * dx if r2 is None else r2 + dx * dx
 
-    active = pair.active & (r2 < pair.rcut2)
+    active = pair.active & (r2 < rcut2)
     r2_safe = jnp.where(active, r2, jnp.ones((), dtype))
-    inv_r2 = pair.sig2 / r2_safe
+    inv_r2 = sig2 / r2_safe
     s6 = inv_r2 * inv_r2 * inv_r2
     s12 = s6 * s6
 
-    v = jnp.where(active, 4.0 * pair.eps * (s12 - s6) - pair.vshift, zero)
+    v = jnp.where(active, 4.0 * eps * (s12 - s6) - vshift, zero)
     energy = 0.5 * jnp.sum(v)
 
     fscalar = jnp.where(
-        active, 24.0 * pair.eps * (2.0 * s12 - s6) / r2_safe, zero
+        active, 24.0 * eps * (2.0 * s12 - s6) / r2_safe, zero
     )
     forces = jnp.stack(
         [jnp.sum(fscalar * dxs[d], axis=-1) for d in range(3)], axis=-1
@@ -227,6 +283,7 @@ def fused_pair_force(
     dtype = position.dtype
     zero = jnp.zeros((), dtype)
     box = jnp.asarray(box_L, dtype)
+    eps, sig2, rcut2, vshift = pair.virtual()
 
     # component-wise pairwise displacements: every array stays (N, N) so the
     # TPU lane dimension is N, not 3 — an (N, N, 3) displacement tensor puts
@@ -241,15 +298,15 @@ def fused_pair_force(
         r2 = dx * dx if r2 is None else r2 + dx * dx
 
     # --- LJ ---
-    lj_active = pair.active & (r2 < pair.rcut2)
+    lj_active = pair.active & (r2 < rcut2)
     r2_lj = jnp.where(lj_active, r2, jnp.ones((), dtype))
-    inv_r2 = pair.sig2 / r2_lj
+    inv_r2 = sig2 / r2_lj
     s6 = inv_r2 * inv_r2 * inv_r2
     s12 = s6 * s6
     e_lj = 0.5 * jnp.sum(
-        jnp.where(lj_active, 4.0 * pair.eps * (s12 - s6) - pair.vshift, zero)
+        jnp.where(lj_active, 4.0 * eps * (s12 - s6) - vshift, zero)
     )
-    f_lj = jnp.where(lj_active, 24.0 * pair.eps * (2.0 * s12 - s6) / r2_lj, zero)
+    f_lj = jnp.where(lj_active, 24.0 * eps * (2.0 * s12 - s6) / r2_lj, zero)
 
     # --- Ewald short (erfc) ---
     kappa = jnp.asarray(kappa, dtype)

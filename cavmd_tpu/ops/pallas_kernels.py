@@ -52,11 +52,12 @@ class PallasPairPack(NamedTuple):
             out[:n, :n] = x
             return jnp.asarray(out)
 
+        eps_m, sig2_m, rcut2_m, vshift_m = pair.dense_numpy()
         return PallasPairPack(
-            eps=pad2(pair.eps),
-            sig2=pad2(pair.sig2, 1.0),
-            rcut2=pad2(pair.rcut2),
-            vshift=pad2(pair.vshift),
+            eps=pad2(eps_m),
+            sig2=pad2(sig2_m, 1.0),
+            rcut2=pad2(rcut2_m),
+            vshift=pad2(vshift_m),
             lj_active=pad2(np.asarray(pair.active, np.float32)),
             qq=pad2(qq),
             ew_active=pad2(np.asarray(coulomb_active, np.float32)),
@@ -320,6 +321,95 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _fused_tile(pi, jrow, scal_ref, pack: "CellPallasPack", rc2):
+    """One (cap_i x L_j) fused LJ + Ewald-short tile, all in registers/VMEM.
+
+    ``pi``: (cap, R) i-side rows (already read). ``jrow(row)``: (1, L)
+    j-side feature row for feature index ``row``. Returns the five per-i
+    reductions ((cap,1) each): fx, fy, fz, e_lj, e_ew.
+    """
+    ta = pack.n_types_active
+    kappa = scal_ref[0, 0]
+    n_real = scal_ref[0, 4]
+    two_over_sqrt_pi = 2.0 / math.sqrt(math.pi)
+
+    def icol(row):  # (cap, 1) column — static slice
+        return pi[:, row:row + 1]
+
+    # component-wise min-image displacements (box rides SMEM scalars).
+    # Divides are ~10x a multiply on the VPU: reciprocal-multiplies
+    # (the scalar 1/L divides hoist out of the tile).
+    r2 = None
+    dxs = []
+    for d in range(3):
+        dx = icol(d) - jrow(d)
+        L = scal_ref[0, 1 + d]
+        dx = dx - L * jnp.round(dx * (1.0 / L))
+        dxs.append(dx)
+        r2 = dx * dx if r2 is None else r2 + dx * dx
+
+    # pair activity: in cutoff, both real (id < n — empty slots sit at
+    # a far position that can wrap onto a real/padded coordinate and
+    # produce an exact r2 = 0, whose 0/0 would poison the energy
+    # sums), not self, not excluded.
+    id_i = icol(4)
+    id_j = jrow(4)
+    valid = (
+        jnp.where(r2 < rc2, 1.0, 0.0)
+        * jnp.where(id_i != id_j, 1.0, 0.0)
+        * jnp.where(id_i < n_real, 1.0, 0.0)
+        * jnp.where(id_j < n_real, 1.0, 0.0)
+    )
+    for e in range(pack.max_excl):
+        ex_i = icol(5 + ta + e)
+        valid = valid * jnp.where(ex_i != id_j, 1.0, 0.0)
+
+    r2_safe = r2 + (1.0 - jnp.minimum(valid, 1.0))
+
+    # per-pair LJ parameters by type-pair expansion (exact: one-hots)
+    eps = None
+    s2 = None
+    for (a, b, v), (_, _, s2v) in zip(pack.eps_terms, pack.sig2_terms):
+        h = icol(5 + a) * jrow(5 + b)
+        eps = v * h if eps is None else eps + v * h
+        s2 = s2v * h if s2 is None else s2 + s2v * h
+    if eps is None:
+        eps = jnp.zeros_like(r2)
+        s2 = jnp.zeros_like(r2)
+
+    # one rsqrt covers every reciprocal below (divides are the
+    # dominant per-pair cost otherwise)
+    inv_r = jax.lax.rsqrt(r2_safe)
+    inv_r2 = inv_r * inv_r
+    rr = r2_safe * inv_r
+
+    inv = s2 * inv_r2
+    s6 = inv * inv * inv
+    s12 = s6 * s6
+    # inline shift under the uniform cutoff: (sigma/rc)^6 = s2^3/rc^6
+    src6 = (s2 * s2 * s2) * (1.0 / (rc2 * rc2 * rc2))
+    e_lj = valid * (4.0 * eps * (s12 - s6 - (src6 * src6 - src6)))
+    f_lj = valid * (24.0 * eps * (2.0 * s12 - s6) * inv_r2)
+
+    qq = icol(3) * jrow(3)
+    x = kappa * rr
+    ec = _erfc_pos(x)
+    e_ew = valid * (qq * ec * inv_r)
+    f_ew = valid * (
+        qq * (ec * inv_r2 + kappa * two_over_sqrt_pi
+              * jnp.exp(-x * x) * inv_r) * inv_r
+    )
+
+    f = f_lj + f_ew
+    return (
+        jnp.sum(f * dxs[0], axis=1, keepdims=True),
+        jnp.sum(f * dxs[1], axis=1, keepdims=True),
+        jnp.sum(f * dxs[2], axis=1, keepdims=True),
+        jnp.sum(e_lj, axis=1, keepdims=True),
+        jnp.sum(e_ew, axis=1, keepdims=True),
+    )
+
+
 def _cell_kernel(pi_ref, pj_ref, scal_ref, out_ref, *, pack: "CellPallasPack",
                  rc2, cells_per_step):
     """G cells per grid step: each an (cap_i x 27cap_j) fused LJ +
@@ -327,91 +417,159 @@ def _cell_kernel(pi_ref, pj_ref, scal_ref, out_ref, *, pack: "CellPallasPack",
     amortize the per-grid-iteration overhead (4913 single-cell steps were
     overhead-bound, measured)."""
     cap = pi_ref.shape[1]
-    ta = pack.n_types_active
-    kappa = scal_ref[0, 0]
-    n_real = scal_ref[0, 4]
-    two_over_sqrt_pi = 2.0 / math.sqrt(math.pi)
 
     for g in range(cells_per_step):
         pi = pi_ref[g]  # (cap, R)
 
-        def icol(row):  # (cap, 1) column — static slice
-            return pi[:, row:row + 1]
-
         def jrow(row):  # (1, 27cap_p) — static slice
             return pj_ref[g, row:row + 1, :]
 
-        # component-wise min-image displacements (box rides SMEM scalars).
-        # Divides are ~10x a multiply on the VPU: reciprocal-multiplies
-        # (the scalar 1/L divides hoist out of the tile).
-        r2 = None
-        dxs = []
-        for d in range(3):
-            dx = icol(d) - jrow(d)
-            L = scal_ref[0, 1 + d]
-            dx = dx - L * jnp.round(dx * (1.0 / L))
-            dxs.append(dx)
-            r2 = dx * dx if r2 is None else r2 + dx * dx
-
-        # pair activity: in cutoff, both real (id < n — empty slots sit at
-        # a far position that can wrap onto a real/padded coordinate and
-        # produce an exact r2 = 0, whose 0/0 would poison the energy
-        # sums), not self, not excluded.
-        id_i = icol(4)
-        id_j = jrow(4)
-        valid = (
-            jnp.where(r2 < rc2, 1.0, 0.0)
-            * jnp.where(id_i != id_j, 1.0, 0.0)
-            * jnp.where(id_i < n_real, 1.0, 0.0)
-            * jnp.where(id_j < n_real, 1.0, 0.0)
-        )
-        for e in range(pack.max_excl):
-            ex_i = icol(5 + ta + e)
-            valid = valid * jnp.where(ex_i != id_j, 1.0, 0.0)
-
-        r2_safe = r2 + (1.0 - jnp.minimum(valid, 1.0))
-
-        # per-pair LJ parameters by type-pair expansion (exact: one-hots)
-        eps = None
-        s2 = None
-        for (a, b, v), (_, _, s2v) in zip(pack.eps_terms, pack.sig2_terms):
-            h = icol(5 + a) * jrow(5 + b)
-            eps = v * h if eps is None else eps + v * h
-            s2 = s2v * h if s2 is None else s2 + s2v * h
-        if eps is None:
-            eps = jnp.zeros_like(r2)
-            s2 = jnp.zeros_like(r2)
-
-        # one rsqrt covers every reciprocal below (divides are the
-        # dominant per-pair cost otherwise)
-        inv_r = jax.lax.rsqrt(r2_safe)
-        inv_r2 = inv_r * inv_r
-        rr = r2_safe * inv_r
-
-        inv = s2 * inv_r2
-        s6 = inv * inv * inv
-        s12 = s6 * s6
-        # inline shift under the uniform cutoff: (sigma/rc)^6 = s2^3/rc^6
-        src6 = (s2 * s2 * s2) * (1.0 / (rc2 * rc2 * rc2))
-        e_lj = valid * (4.0 * eps * (s12 - s6 - (src6 * src6 - src6)))
-        f_lj = valid * (24.0 * eps * (2.0 * s12 - s6) * inv_r2)
-
-        qq = icol(3) * jrow(3)
-        x = kappa * rr
-        ec = _erfc_pos(x)
-        e_ew = valid * (qq * ec * inv_r)
-        f_ew = valid * (
-            qq * (ec * inv_r2 + kappa * two_over_sqrt_pi
-                  * jnp.exp(-x * x) * inv_r) * inv_r
-        )
-
-        f = f_lj + f_ew
-        for d in range(3):
-            out_ref[g, :, d:d + 1] = jnp.sum(f * dxs[d], axis=1,
-                                             keepdims=True)
-        out_ref[g, :, 3:4] = jnp.sum(e_lj, axis=1, keepdims=True)
-        out_ref[g, :, 4:5] = jnp.sum(e_ew, axis=1, keepdims=True)
+        fx, fy, fz, e_lj, e_ew = _fused_tile(pi, jrow, scal_ref, pack, rc2)
+        out_ref[g, :, 0:1] = fx
+        out_ref[g, :, 1:2] = fy
+        out_ref[g, :, 2:3] = fz
+        out_ref[g, :, 3:4] = e_lj
+        out_ref[g, :, 4:5] = e_ew
         out_ref[g, :, 5:8] = jnp.zeros((cap, 3), jnp.float32)
+
+
+def _xy_neighbor_table(cx, cy) -> np.ndarray:
+    """(cx*cy, 9) wrapped xy-neighbor column ids (host-side, trace-time)."""
+    ids = np.arange(cx * cy)
+    x, y = ids // cy, ids % cy
+    out = np.empty((cx * cy, 9), np.int32)
+    k = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            out[:, k] = ((x + dx) % cx) * cy + (y + dy) % cy
+            k += 1
+    return out
+
+
+def _cell_cols_kernel(pi_ref, pj_ref, scal_ref, out_ref, jbuf_ref, *,
+                      pack: "CellPallasPack", rc2, cz, cap, lanes_pad):
+    """One xy column of cells per grid step (z-resident j-tiles).
+
+    ``pi_ref``: (1, cz, cap, R) i-side rows for the column's cells.
+    ``pj_ref``: (1, 9, R, (cz+2)*cap_pad) — the 9 xy-neighbor columns,
+    feature-major with the z-HALO'd cell axis in lanes. For cell iz the
+    27-cell neighborhood is the 9 lane windows [iz*cap, (iz+3)*cap) (halo
+    offset +1 makes the dz=-1..1 window start at iz*cap). The windows are
+    assembled into ``jbuf_ref`` (R, 27cap_pad) — static lane-slice copies,
+    register shuffles only — and the tile body is shared with the
+    gather-based kernel (:func:`_fused_tile`).
+    """
+    n_real = scal_ref[0, 4]
+    w = 3 * cap
+    tail = lanes_pad - 27 * cap
+    r = pack.r_pad
+
+    for iz in range(cz):
+        if tail and iz == 0:
+            # sentinel lane padding: far position (rows 0-2), id n (row 4)
+            jbuf_ref[:, 27 * cap:] = jnp.zeros((r, tail), jnp.float32)
+            jbuf_ref[0:3, 27 * cap:] = jnp.full((3, tail), 1e6, jnp.float32)
+            jbuf_ref[4:5, 27 * cap:] = jnp.broadcast_to(n_real, (1, tail))
+        for k in range(9):
+            jbuf_ref[:, k * w:(k + 1) * w] = (
+                pj_ref[0, k, :, iz * cap:iz * cap + w]
+            )
+        pi = pi_ref[0, iz]  # (cap, R)
+
+        def jrow(row):  # (1, 27cap_pad) — static slice
+            return jbuf_ref[row:row + 1, :]
+
+        fx, fy, fz, e_lj, e_ew = _fused_tile(pi, jrow, scal_ref, pack, rc2)
+        out_ref[0, iz, :, 0:1] = fx
+        out_ref[0, iz, :, 1:2] = fy
+        out_ref[0, iz, :, 2:3] = fz
+        out_ref[0, iz, :, 3:4] = e_lj
+        out_ref[0, iz, :, 4:5] = e_ew
+        out_ref[0, iz, :, 5:8] = jnp.zeros((cap, 3), jnp.float32)
+
+
+def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
+                           kappa, interpret=False):
+    """Column-resident variant of :func:`fused_cell_pallas` (round 2).
+
+    Same tile math, different data movement: instead of gathering a
+    (C, 27, cap, R) j-tensor by neighbor-cell id and relaying it out to
+    (C, R, 27cap) — measured 9-10 ms/step of XLA gather+transpose traffic
+    at N=100k — the per-cell rows are stored once per step as z-HALO'd
+    xy-columns (XY, R, (cz+2)*cap) with the cell-z axis *in the lane
+    dimension*. The j-side fetch is then a gather of only the 9 wrapped
+    xy-neighbor columns (contiguous ~32 KB rows, bandwidth-efficient) and
+    each fetched column serves ALL cz cells of the grid step — the
+    27-cell window per cell is 9 static lane slices done in-kernel.
+    HBM j-traffic drops from ~27x to ~9x the cell-row bytes and the
+    transpose happens once on the compact (C, cap, R) array.
+
+    Requires >= 3 cells per axis (no wrapped-neighbor duplicates);
+    callers fall back to :func:`fused_cell_pallas` otherwise.
+    """
+    n = position.shape[0]
+    dtype = jnp.float32
+    idx = clist.bucket_idx  # (C, cap)
+    C, cap = idx.shape
+    cx, cy, cz = cfg.ncells
+    assert min(cx, cy, cz) >= 3, "cols kernel needs >=3 cells per axis"
+    XY = cx * cy
+    r = pack.r_pad
+    lanes_pad = _round_up(27 * cap, 128)
+    zcap = (cz + 2) * cap
+    zcap_pad = _round_up(zcap, 128)
+
+    far = jnp.full((1, 3), jnp.asarray(1e6, dtype))
+    pos_pad = jnp.concatenate([position.astype(dtype), far])  # (N+1, 3)
+    rows = jnp.concatenate([pos_pad, pack.static_rows], axis=1)  # (N+1, R)
+
+    pi = rows[idx].reshape(XY, cz, cap, r)  # i-side column blocks
+
+    # j source: z-halo (wrap copies), then feature-major with z*cap lanes
+    zh = jnp.concatenate([pi[:, -1:], pi, pi[:, :1]], axis=1)
+    jsrc = jnp.transpose(zh, (0, 3, 1, 2)).reshape(XY, r, zcap)
+    if zcap_pad != zcap:
+        sent_col = jnp.zeros((r,), dtype).at[:3].set(1e6).at[4].set(float(n))
+        pad = jnp.broadcast_to(
+            sent_col[None, :, None], (XY, r, zcap_pad - zcap)
+        )
+        jsrc = jnp.concatenate([jsrc, pad], axis=2)
+    xy_nb = jnp.asarray(_xy_neighbor_table(cx, cy), jnp.int32)
+    pj = jsrc[xy_nb]  # (XY, 9, r, zcap_pad) — 9 big contiguous rows per xy
+
+    box = jnp.asarray(box_L, dtype).reshape(3)
+    scal = jnp.concatenate(
+        [jnp.asarray(kappa, dtype).reshape(1), box,
+         jnp.asarray(float(n), dtype).reshape(1)]
+    ).reshape(1, 5)
+    rc2 = float(cfg.r_cut) ** 2
+
+    kernel = functools.partial(_cell_cols_kernel, pack=pack, rc2=rc2,
+                               cz=cz, cap=cap, lanes_pad=lanes_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(XY,),
+        in_specs=[
+            pl.BlockSpec((1, cz, cap, r), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, r, zcap_pad), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cz, cap, 8), lambda c: (c, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((XY, cz, cap, 8), dtype),
+        scratch_shapes=[pltpu.VMEM((r, lanes_pad), jnp.float32)],
+        interpret=interpret,
+    )(pi, pj, scal)
+
+    out = out.reshape(C, cap, 8)
+    forces = jnp.zeros((n + 1, 3), dtype)
+    forces = forces.at[idx.reshape(-1)].add(out[:, :, :3].reshape(-1, 3))
+    e_lj = 0.5 * jnp.sum(out[:, :, 3])
+    e_ew = 0.5 * jnp.sum(out[:, :, 4])
+    return (forces[:n].astype(position.dtype),
+            e_lj.astype(position.dtype), e_ew.astype(position.dtype))
 
 
 def fused_cell_pallas(position, box_L, clist, cfg, pack: CellPallasPack,

@@ -19,12 +19,31 @@ sharded particle axis the grid contributions combine with one ``psum``.
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Precision for the mesh matmuls (spread GEMM + stacked DFT). HIGH = bf16x3
+# passes, which carries ~f32-native accuracy at half HIGHEST's (bf16x6)
+# MXU cost. Measured on v5e f32 NVE (full force mix, 20k steps): total-
+# energy drift 6.8e-4 Ha at HIGH vs 7.3e-4 at HIGHEST — the integrator's
+# own f32 rounding dominates, so the cheaper pass count is free. The
+# inputs to these matmuls are B-spline WEIGHTS (not raw positions); the
+# bf16-rounding heating bug (ops/bonds.py) applied to position-carrying
+# matmuls at DEFAULT (single-pass bf16) precision, a different regime.
+_PPPM_PRECISION = jax.lax.Precision.HIGH
+
+# The DFT stage gets its own knob because it looked like a candidate for
+# single-pass bf16 (DEFAULT): its inputs are the spread charge grid, not
+# position-carrying weights. Measured (v5e, N=501 vs f64 CPU truth):
+# DEFAULT costs 100x in force accuracy — rel RMS reciprocal-force error
+# 1.7e-3 vs 1.5e-5 at HIGH (the bf16 rounding of the grid does NOT
+# average out through the quadratic influence sum) — for only ~35 us/step
+# at B=8. HIGH stays; do not lower this without re-running that A/B.
+_PPPM_DFT_PRECISION = jax.lax.Precision.HIGH
 
 
 def bspline_int_values(p: int) -> np.ndarray:
@@ -91,30 +110,43 @@ def influence_grid(box_L, mesh, order, kappa) -> np.ndarray:
 class PPPMParams(NamedTuple):
     """Static + precomputed data for the mesh solver (a pytree)."""
 
-    influence: jnp.ndarray  # (Kx,Ky,Kz) real coefficients c(m)
+    # (Kx//2+1, Ky, Kz) HALF-SPECTRUM coefficients: the real charge grid
+    # has Hermitian x-symmetry F(-m) = F*(m), so only Kx//2+1 x-frequency
+    # rows are computed; conjugate-paired rows are folded in here as a
+    # weight of 2 (1 on the self-conjugate m_x = 0 and Kx/2 planes)
+    influence: jnp.ndarray
     kappa: jnp.ndarray  # splitting parameter
     volume: jnp.ndarray  # box volume
-    # DFT matrices per axis (real/imag) — see pppm_reciprocal_energy notes
-    dft_re: tuple  # of (K_d, K_d)
-    dft_im: tuple
+    # Stacked DFT matrices per axis — see _mesh_energy notes:
+    # axis 0 (real input, half spectrum): (2*(K//2+1), K) [W_re; W_im]
+    # axes 1,2 (complex):   (2K, 2K) [[W_re, -W_im], [W_im, W_re]]
+    dft_stack: tuple
 
     @staticmethod
     def create(box_L, mesh=(32, 32, 32), order=6, kappa=0.2, dtype=None):
         box_np = np.asarray(box_L, dtype=float)
         c = influence_grid(box_np, mesh, order, float(kappa))
-        dft_re, dft_im = [], []
-        for K in mesh:
+        Kxh = mesh[0] // 2 + 1
+        weights = np.full(Kxh, 2.0)
+        weights[0] = 1.0
+        if mesh[0] % 2 == 0:
+            weights[-1] = 1.0
+        c_half = c[:Kxh] * weights[:, None, None]
+        stacks = []
+        for axis, K in enumerate(mesh):
             m = np.arange(K)
             w = np.exp(-2j * np.pi * np.outer(m, m) / K)
-            dft_re.append(jnp.asarray(w.real, dtype=dtype))
-            dft_im.append(jnp.asarray(w.imag, dtype=dtype))
+            if axis == 0:
+                s = np.concatenate([w.real[:Kxh], w.imag[:Kxh]], axis=0)
+            else:
+                s = np.block([[w.real, -w.imag], [w.imag, w.real]])
+            stacks.append(jnp.asarray(s, dtype=dtype))
         return (
             PPPMParams(
-                influence=jnp.asarray(c, dtype=dtype),
+                influence=jnp.asarray(c_half, dtype=dtype),
                 kappa=jnp.asarray(kappa, dtype=dtype),
                 volume=jnp.asarray(np.prod(box_np), dtype=dtype),
-                dft_re=tuple(dft_re),
-                dft_im=tuple(dft_im),
+                dft_stack=tuple(stacks),
             ),
             order,
         )
@@ -150,39 +182,104 @@ def bspline_weights(frac, order: int):
 
 
 def _spread_matrices(position, box_L, order: int, mesh):
-    """Per-dimension spread matrices S_d (N, K_d) with the order-p B-spline
-    weights placed at the wrapped stencil columns.
+    """Per-dimension spread matrices S_d (..., N, K_d) with the order-p
+    B-spline weights placed at the wrapped stencil columns.
 
-    TPU-native design note: naive charge spreading is N * p^3 scatter-adds
-    (~755 us/step at N=501 on v5e, measured) because XLA serializes
-    scatters. B-spline assignment is separable, so the grid is instead the
-    contraction ``grid[x,y,z] = sum_i q_i Sx[i,x] Sy[i,y] Sz[i,z]`` — one
-    (Kx, N) @ (N, Ky*Kz) matmul on the MXU plus cheap one-hot builds.
-    (This mirrors the reference GPU's shared-memory tree reduction pivot —
-    CavityForceComputeGPU.cu:323-377 — but for the mesh assignment.)
+    TPU-native design notes (each measured on v5e):
+
+    - naive charge spreading is N * p^3 scatter-adds (~755 us/step at
+      N=501) because XLA serializes scatters. B-spline assignment is
+      separable, so the grid is instead the contraction
+      ``grid[x,y,z] = sum_i q_i Sx[i,x] Sy[i,y] Sz[i,z]`` — one
+      (Kx, N) @ (N, Ky*Kz) matmul on the MXU plus cheap one-hot builds.
+      (This mirrors the reference GPU's shared-memory tree reduction
+      pivot — CavityForceComputeGPU.cu:323-377 — but for the mesh
+      assignment.)
+    - the one-hot + einsum formulation deliberately stays: the integer
+      one-hot is an autodiff CONSTANT (floor has zero gradient), so the
+      force backward flows only through the tiny (..., N, 3, p) weight
+      recursion. A direct per-column B-spline evaluation looks leaner
+      forward but backprops through (..., N, K) chains — measured 1.5x
+      slower f+grad at B=8.
+
+    Accepts any leading batch dims on ``position``; ``box_L`` must be
+    broadcastable against its last axis.
     """
     dtype = position.dtype
     Ks = jnp.asarray(mesh, dtype)
     box = jnp.asarray(box_L, dtype)
 
-    u = (position / box + 0.5) * Ks  # (N,3) fractional grid coords in [0,K)
+    u = (position / box + 0.5) * Ks  # (...,N,3) grid coords in [0,K)
     k0 = jnp.floor(u)
     frac = u - k0
     base = k0.astype(jnp.int32)
 
-    w, _ = bspline_weights(frac, order)  # (N,3,p)
+    w, _ = bspline_weights(frac, order)  # (...,N,3,p)
     j = jnp.arange(order, dtype=jnp.int32)
-    idx = (base[:, :, None] - j[None, None, :]) % jnp.asarray(
-        mesh, jnp.int32
-    )[None, :, None]  # (N,3,p)
+    idx = (base[..., None] - j) % jnp.asarray(mesh, jnp.int32)[:, None]
 
     mats = []
     for d, K in enumerate(mesh):
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
-        onehot = (idx[:, d, :, None] == cols).astype(dtype)  # (N,p,K)
-        mats.append(jnp.einsum("njk,nj->nk", onehot, w[:, d],
-                                precision=jax.lax.Precision.HIGHEST))
+        cols = jnp.arange(K, dtype=jnp.int32)
+        onehot = (idx[..., d, :, None] == cols).astype(dtype)  # (...,N,p,K)
+        mats.append(jnp.einsum("...jk,...j->...k", onehot, w[..., d, :],
+                               precision=jax.lax.Precision.HIGHEST))
     return mats
+
+
+def _mesh_energy(grid, params: PPPMParams, mesh):
+    """Reciprocal energies from a real charge grid laid out (Kx, B, Ky, Kz).
+
+    3-D DFT via per-axis matmuls with precomputed STACKED DFT matrices —
+    one matmul per axis instead of 2-4:
+
+    - axis 0 (real input): [W_re; W_im] (2K, K) @ grid (K, B*Ky*Kz);
+    - axes 1, 2 (complex): [[W_re, -W_im], [W_im, W_re]] (2K, 2K) @
+      [re; im] stacked along the contracted axis.
+
+    TPU-native design notes (measured, v5e): XLA's FFT costs ~44 us per
+    32^3 transform (overhead-dominated); separate re/im matmuls leave the
+    (32, 32) LHS using a quarter of the MXU's 128 rows and pay the
+    HIGHEST-precision pass count per op — stacking doubles row utilization
+    and cuts op count ~3x. The batch dimension rides the matmul COLUMNS
+    (B replicas = one matmul set, not B), which is why the replica-batched
+    path (pppm_reciprocal_energy_batched) shares this core: batched and
+    unbatched results are the same matmul columns, hence bit-identical.
+    """
+    dtype = grid.dtype
+    Kx, Ky, Kz = mesh
+    Kxh = Kx // 2 + 1  # Hermitian half spectrum of the real input
+    hp = _PPPM_DFT_PRECISION
+
+    # axis-0 transform: (2, Kxh, Kx) contracted with grid dim 0
+    # -> (2, Kxh, B, Ky, Kz); the complex component rides a leading axis.
+    # Only the half spectrum is carried — conjugate rows are folded into
+    # the influence weights (see PPPMParams) — halving axis-1/2 work.
+    s0 = params.dft_stack[0].reshape(2, Kxh, Kx)
+    x = jax.lax.dot_general(
+        s0, grid, (((2,), (0,)), ((), ())),
+        precision=hp, preferred_element_type=dtype,
+    )
+    # axes 1,2: contract (complex, K) jointly with the (2,K',2,K) stack.
+    # Each transformed axis lands at output position 1 and the remaining
+    # dims keep their order — we track the layout instead of moving data
+    # back (the moveaxis/concat round-trips cost ~2x the matmul time at
+    # 32^3 x B=8, measured v5e). x layout after the loop:
+    # (2, Kz', Ky', Kx', B).
+    for i, (axis, K) in enumerate(((3, Ky), (4, Kz)), start=1):
+        s = params.dft_stack[i].reshape(2, K, 2, K)
+        x = jax.lax.dot_general(
+            s, x, (((2, 3), (0, axis)), ((), ())),
+            precision=hp, preferred_element_type=dtype,
+        )
+
+    pref = 1.0 / (2.0 * jnp.pi * params.volume)
+    # influence transposed to the (Kz, Ky, Kx) layout of x (tiny constant)
+    infl = jnp.transpose(params.influence, (2, 1, 0))[..., None]
+    e = pref * jnp.sum(
+        infl * jnp.sum(x * x, axis=0), axis=(0, 1, 2)
+    )
+    return e.astype(dtype)
 
 
 @partial(jax.jit, static_argnames=("order", "mesh"))
@@ -200,41 +297,10 @@ def pppm_reciprocal_energy(position, charge, box_L, params: PPPMParams, order: i
     Sx, Sy, Sz = _spread_matrices(position, box_L, order, mesh)
     A = charge[:, None] * Sx  # (N,Kx)
     B = (Sy[:, :, None] * Sz[:, None, :]).reshape(-1, Ky * Kz)  # (N,Ky*Kz)
-    hp = jax.lax.Precision.HIGHEST  # TPU f32 matmul defaults to bf16
+    hp = _PPPM_PRECISION
     grid = jnp.dot(A.T, B, precision=hp,
-                   preferred_element_type=dtype).reshape(Kx, Ky, Kz)
-
-    # 3-D DFT via per-axis matmuls with precomputed DFT matrices.
-    # TPU-native design note: XLA's FFT costs ~44 us per 32^3 transform on
-    # v5e (overhead-dominated at this size, measured); three axis
-    # contractions with (K,K) DFT matrices are ~25 MFLOP on the MXU —
-    # microseconds — and differentiate as plain matmuls.
-    re, im = grid, None  # the charge grid is real: axis 0 needs 2 matmuls
-    for axis in range(3):
-        wr, wi = params.dft_re[axis], params.dft_im[axis]
-        other = tuple(mesh[i] for i in range(3) if i != axis)
-        re_m = jnp.moveaxis(re, axis, 0).reshape(mesh[axis], -1)
-        if im is None:
-            new_re = jnp.dot(wr, re_m, precision=hp,
-                             preferred_element_type=dtype)
-            new_im = jnp.dot(wi, re_m, precision=hp,
-                             preferred_element_type=dtype)
-        else:
-            im_m = jnp.moveaxis(im, axis, 0).reshape(mesh[axis], -1)
-            new_re = (
-                jnp.dot(wr, re_m, precision=hp, preferred_element_type=dtype)
-                - jnp.dot(wi, im_m, precision=hp, preferred_element_type=dtype)
-            )
-            new_im = (
-                jnp.dot(wr, im_m, precision=hp, preferred_element_type=dtype)
-                + jnp.dot(wi, re_m, precision=hp, preferred_element_type=dtype)
-            )
-        re = jnp.moveaxis(new_re.reshape(mesh[axis], *other), 0, axis)
-        im = jnp.moveaxis(new_im.reshape(mesh[axis], *other), 0, axis)
-
-    pref = 1.0 / (2.0 * jnp.pi * params.volume)
-    energy = pref * jnp.sum(params.influence * (re * re + im * im))
-    return energy.astype(dtype)
+                   preferred_element_type=dtype).reshape(Kx, 1, Ky, Kz)
+    return _mesh_energy(grid, params, mesh)[0]
 
 
 def pppm_force_and_energy(position, charge, box_L, params: PPPMParams, order: int, mesh):
@@ -243,3 +309,111 @@ def pppm_force_and_energy(position, charge, box_L, params: PPPMParams, order: in
         position, charge, box_L, params, order, mesh
     )
     return -grad, e
+
+
+# --------------------------------------------------------------- batched path
+def _spread_matrices_batched(position, box_L, order: int, mesh):
+    """(B, N, 3) variant of :func:`_spread_matrices` -> three (B, N, K_d)."""
+    box = jnp.asarray(box_L, position.dtype)
+    if box.ndim > 1:
+        box = box[:, None, :]  # per-replica boxes broadcast over N
+    return _spread_matrices(position, box, order, mesh)
+
+
+@partial(jax.jit, static_argnames=("order", "mesh"))
+def pppm_reciprocal_energy_batched(position, charge, box_L, params: PPPMParams,
+                                   order: int, mesh):
+    """Replica-batched mesh energy: (B, N, 3) positions -> (B,) energies.
+
+    TPU-native design note (VERDICT r1 item 4): under plain ``vmap`` the
+    per-axis DFT contractions become B tiny (K,K)@(K,K^2) matmuls each —
+    measured 2.6x the B=1 cost at B=8 on v5e, because every one is a
+    separate overhead-bound MXU op. Here the replica axis is FOLDED INTO
+    THE COLUMN DIMENSION of each shared-matrix contraction,
+    (K,K)@(K, B*K^2), so B replicas ride one matmul set. Per-column
+    accumulation order is identical to the unbatched kernel, so results
+    match the B=1 path bit-for-bit. The charge spreading keeps a genuinely
+    batched GEMM (its contraction differs per replica) — that part is
+    FLOP-bound, not overhead-bound.
+
+    Requires every replica to share the same box (the replica-batch
+    use case: one scene, many trajectories).
+    """
+    dtype = position.dtype
+    B = position.shape[0]
+    Kx, Ky, Kz = mesh
+    hp = _PPPM_PRECISION
+
+    Sx, Sy, Sz = _spread_matrices_batched(position, box_L, order, mesh)
+    A = charge[..., None] * Sx  # (B,N,Kx)
+    Bm = (Sy[..., :, None] * Sz[..., None, :]).reshape(
+        B, -1, Ky * Kz
+    )  # (B,N,Ky*Kz)
+    # grid laid out (Kx, B, Ky*Kz): the replica axis sits in the DFT matmul
+    # columns from the start — no transpose before the axis-0 contraction
+    grid = jnp.einsum("bnx,bnm->xbm", A, Bm, precision=hp,
+                      preferred_element_type=dtype)
+    return _mesh_energy(grid.reshape(Kx, B, Ky, Kz), params, mesh)
+
+
+@partial(jax.jit, static_argnames=("order", "mesh"))
+def pppm_force_and_energy_batched(position, charge, box_L,
+                                  params: PPPMParams, order: int, mesh):
+    """Batched forces + energies: (B,N,3) -> ((B,N,3), (B,))."""
+    e, vjp = jax.vjp(
+        lambda p: pppm_reciprocal_energy_batched(
+            p, charge, box_L, params, order, mesh
+        ),
+        position,
+    )
+    # replicas are independent: the vjp with a ones cotangent is the
+    # per-replica gradient stack
+    (grad,) = vjp(jnp.ones_like(e))
+    return -grad, e
+
+
+@lru_cache(maxsize=8)
+def make_pppm_force_energy(order: int, mesh):
+    """Build the vmap-aware PPPM force+energy op.
+
+    Unbatched calls run :func:`pppm_force_and_energy`. Under ``jax.vmap``
+    (the replica-parallel step, parallel/replicas.py) a ``custom_vmap``
+    rule swaps in the replica-folded batched kernel instead of letting
+    vmap shred the DFT into B tiny matmuls. Bit-identical results either
+    way (see pppm_reciprocal_energy_batched).
+    """
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def fe(position, charge, box_L, params):
+        return pppm_force_and_energy(position, charge, box_L, params,
+                                     order, mesh)
+
+    @fe.def_vmap
+    def _fe_vmap(axis_size, in_batched, position, charge, box_L, params):
+        pos_b, q_b, box_b, params_b = in_batched
+        if any(jax.tree_util.tree_leaves(params_b)) or not pos_b:
+            # params batched (not the replica use case): fall back to a
+            # plain per-example loop over broadcast inputs
+            def bcast(x, b):
+                return jax.tree_util.tree_map(
+                    lambda leaf, lb: leaf if lb else jnp.broadcast_to(
+                        leaf, (axis_size,) + leaf.shape
+                    ),
+                    x, b,
+                )
+            f, e = jax.lax.map(
+                lambda args: pppm_force_and_energy(*args, order, mesh),
+                (bcast(position, pos_b), bcast(charge, q_b),
+                 bcast(box_L, box_b), bcast(params, params_b)),
+            )
+            return (f, e), (True, True)
+        if not q_b:
+            charge = jnp.broadcast_to(charge, (axis_size,) + charge.shape)
+        box0 = box_L[0] if box_b else box_L
+        f, e = pppm_force_and_energy_batched(
+            position, charge, box0, params, order, mesh
+        )
+        return (f, e), (True, True)
+
+    return fe

@@ -23,13 +23,15 @@ def test_pallas_pair_matches_jnp():
         lambda x: x.astype(jnp.float32) if x.dtype.kind == "f" else x,
         ff.lj_pair,
     )
+    q = np.asarray(snap.charge)
+    qq = q[:, None] * q[None, :]
     f_ref, elj_ref, eew_ref = fused_pair_force(
-        pos32, box32, pair32, ff.qq_pair.astype(jnp.float32),
+        pos32, box32, pair32, jnp.asarray(qq, jnp.float32),
         ff.coulomb_active, jnp.float32(ff.kappa), ff.coulomb_rcut,
     )
 
     pack = PallasPairPack.create(
-        ff.lj_pair, np.asarray(ff.qq_pair), np.asarray(ff.coulomb_active),
+        ff.lj_pair, qq, np.asarray(ff.coulomb_active),
         snap.N, tile=8,
     )
     run = make_fused_pair_pallas(
@@ -124,3 +126,18 @@ def test_pallas_cell_kernel_matches_xla():
                                atol=2e-5 * scale)
     assert float(elj_p) == pytest.approx(float(elj_ref), rel=1e-5)
     assert float(eew_p) == pytest.approx(float(eew_ref), rel=1e-3, abs=1e-9)
+
+    # column-resident variant (the large-N production kernel): same tile
+    # math via a different j-side data path — must match the gather-based
+    # kernel to f32 roundoff (summation order differs within the window)
+    from cavmd_tpu.ops.pallas_kernels import fused_cell_cols_pallas
+
+    assert min(cfg.ncells) >= 3
+    f_c, elj_c, eew_c = fused_cell_cols_pallas(
+        snap.position, snap.box_L, clist, cfg, ff.cell_pallas_pack,
+        ff.kappa, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_p),
+                               atol=2e-6 * scale)
+    assert float(elj_c) == pytest.approx(float(elj_p), rel=1e-5)
+    assert float(eew_c) == pytest.approx(float(eew_p), rel=1e-4, abs=1e-9)
