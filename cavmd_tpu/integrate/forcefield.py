@@ -21,14 +21,18 @@ import numpy as np
 from cavmd_tpu.core.snapshot import Snapshot
 from cavmd_tpu.ops.bonds import (
     bond_incidence,
+    bonds_are_consecutive,
     harmonic_bond_force,
     harmonic_bond_force_incidence,
+    harmonic_bond_force_strided,
 )
 from cavmd_tpu.ops.cavity import CavityParams, cavity_force
 from cavmd_tpu.ops.ewald import (
     auto_kappa,
+    auto_kappa_error_estimate,
     ewald_exclusion_correction,
     ewald_exclusion_correction_incidence,
+    ewald_exclusion_correction_strided,
     ewald_real_space_pair,
     ewald_self_energy,
 )
@@ -115,6 +119,10 @@ class ForceField:
     # bohr/step and would force a rebuild every step (measured) despite
     # contributing nothing to any pair tile.
     pair_inert: jnp.ndarray = None
+    # consecutive-pair bond topology (bond b = particles (2b, 2b+1)) —
+    # enables the reshape-strided bond/exclusion paths (ops/bonds.py)
+    bonds_strided: bool = False
+    n_bonds: int = 0
 
     def build_cells(self, position, box_L):
         """Bin particles into cell buckets (cell mode only) — exposed so the
@@ -151,7 +159,12 @@ class ForceField:
         }
 
         if self.enable_bonds:
-            if self.bond_gi is not None:
+            if self.bonds_strided:
+                f, e = harmonic_bond_force_strided(
+                    position, box_L, self.n_bonds,
+                    self.bond_k_per, self.bond_r0_per,
+                )
+            elif self.bond_gi is not None:
                 f, e = harmonic_bond_force_incidence(
                     position, box_L, self.bond_gi, self.bond_gj,
                     self.bond_k_per, self.bond_r0_per,
@@ -291,7 +304,12 @@ class ForceField:
                 self.pppm_order, tuple(self.pppm_mesh)
             )
             f_rec, e_rec = pppm_fe(position, charge, box_L, self.pppm)
-            if self.bond_gi is not None:
+            if self.bonds_strided:
+                f_corr, e_corr = ewald_exclusion_correction_strided(
+                    position, box_L, self.bond_qq_per, self.kappa,
+                    self.n_bonds,
+                )
+            elif self.bond_gi is not None:
                 f_corr, e_corr = ewald_exclusion_correction_incidence(
                     position, box_L, self.bond_gi, self.bond_gj,
                     self.bond_qq_per, self.kappa,
@@ -338,6 +356,9 @@ class ForceField:
         pppm_order: int = 6,
         kappa: float | None = None,
         ewald_accuracy: float = 1e-6,
+        kappa_mode: str = "erfc",  # 'erfc' (bisection on erfc(k rc)) or
+        # 'kolafa-perram' (system-aware RMS-error root-find — the HOOMD
+        # alpha=0 auto-tune family, ref 05_advanced_run.py:601-603)
         pair_mode: str | None = None,
         custom_forces: tuple = (),
         cell_skin: float = 0.5,  # minimum Verlet skin (snapped up to the
@@ -364,19 +385,23 @@ class ForceField:
         bond_k = jnp.asarray([bond_params[t]["k"] for t in bond_types], dtype)
         bond_r0 = jnp.asarray([bond_params[t]["r0"] for t in bond_types], dtype)
 
-        # incidence-matmul bond path for small systems (see bonds.py note)
+        # bond-path selection (see bonds.py notes): consecutive-pair
+        # topology -> reshape-strided (zero gathers, any size); else
+        # incidence matmuls for small systems; else the scatter fallback
         nb = snapshot.n_bonds
         bond_gi = bond_gj = bond_k_per = bond_r0_per = bond_qq_per = None
-        if 0 < nb * snapshot.N <= 8_000_000:
-            bond_gi, bond_gj = bond_incidence(
-                snapshot.N, snapshot.bond_group, dtype
-            )
+        bonds_strided = bonds_are_consecutive(snapshot.bond_group)
+        if nb > 0:
             btid = np.asarray(snapshot.bond_typeid)
             bond_k_per = jnp.asarray(np.asarray(bond_k)[btid], dtype)
             bond_r0_per = jnp.asarray(np.asarray(bond_r0)[btid], dtype)
             bg = np.asarray(snapshot.bond_group)
             q_np = np.asarray(snapshot.charge)
             bond_qq_per = jnp.asarray(q_np[bg[:, 0]] * q_np[bg[:, 1]], dtype)
+        if not bonds_strided and 0 < nb * snapshot.N <= 8_000_000:
+            bond_gi, bond_gj = bond_incidence(
+                snapshot.N, snapshot.bond_group, dtype
+            )
 
         types = list(snapshot.types)
         eps, sig, rcut_t = lj_pair_tables(
@@ -468,7 +493,14 @@ class ForceField:
                 cell_pallas_pack=cell_pallas,
             )
 
-        kappa_val = kappa if kappa is not None else auto_kappa(r_cut, ewald_accuracy)
+        if kappa is not None:
+            kappa_val = kappa
+        elif kappa_mode == "kolafa-perram":
+            kappa_val = auto_kappa_error_estimate(
+                snapshot.charge, np.asarray(snapshot.box_L), r_cut,
+            )
+        else:
+            kappa_val = auto_kappa(r_cut, ewald_accuracy)
         pppm, order = PPPMParams.create(
             np.asarray(snapshot.box_L), mesh=pppm_mesh, order=pppm_order,
             kappa=kappa_val, dtype=dtype,
@@ -483,6 +515,8 @@ class ForceField:
             bond_k=bond_k,
             bond_r0=bond_r0,
             bond_gi=bond_gi,
+            bonds_strided=bonds_strided,
+            n_bonds=int(nb),
             bond_gj=bond_gj,
             bond_k_per=bond_k_per,
             bond_r0_per=bond_r0_per,
@@ -530,6 +564,6 @@ jax.tree_util.register_dataclass(
         "l_typeid", "coulomb_rcut", "pppm_order", "pppm_mesh",
         "enable_cavity", "enable_coulomb", "enable_lj", "enable_bonds",
         "pair_mode", "cell_cfg", "cell_block", "n_types", "custom_forces",
-        "uniform_rcut", "ghost_typeid",
+        "uniform_rcut", "ghost_typeid", "bonds_strided", "n_bonds",
     ],
 )

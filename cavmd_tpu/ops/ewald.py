@@ -36,9 +36,11 @@ def auto_kappa(r_cut, accuracy=1e-6):
     """Choose the Ewald splitting parameter from the real-space cutoff.
 
     Picks kappa such that erfc(kappa * r_cut) ~ accuracy, the standard
-    heuristic (HOOMD tunes kappa from an error estimate; the workflow's
-    numbers r_cut=15, 32^3 mesh resolve the resulting reciprocal tail).
-    Host-side; uses a bisection on math.erfc (no scipy dependency).
+    heuristic. Host-side; uses a bisection on math.erfc (no scipy
+    dependency). See :func:`auto_kappa_error_estimate` for the
+    HOOMD-style system-aware tuning (the reference passes ``alpha=0.0``
+    at ``examples/05_advanced_run.py:601-603``, which triggers HOOMD's
+    internal error-estimate root-find).
     """
     lo, hi = 0.0, 30.0
     for _ in range(80):
@@ -48,6 +50,56 @@ def auto_kappa(r_cut, accuracy=1e-6):
         else:
             hi = mid
     return 0.5 * (lo + hi) / float(r_cut)
+
+
+def real_space_rms_error(kappa, charge, box_L, r_cut):
+    """Kolafa-Perram RMS real-space force-error estimate (host-side).
+
+    ``Delta F ~= 2 Q^2 / sqrt(N r_cut V) * exp(-kappa^2 r_cut^2)`` with
+    ``Q^2 = sum q_i^2`` — the standard truncation-error estimate (Kolafa
+    & Perram 1992, eq. 18) that HOOMD's PPPM setup uses to pick kappa
+    when the user passes ``alpha=0`` (the reference's configuration,
+    ``examples/05_advanced_run.py:601-603``).
+    """
+    import numpy as np
+
+    q = np.asarray(charge, np.float64)
+    n = max(len(q), 1)
+    v = float(np.prod(np.asarray(box_L, np.float64)))
+    q2 = float(np.sum(q * q))
+    return (2.0 * q2 / math.sqrt(n * float(r_cut) * v)
+            * math.exp(-(kappa * float(r_cut)) ** 2))
+
+
+def auto_kappa_error_estimate(charge, box_L, r_cut, accuracy=1e-4):
+    """System-aware kappa tuning: root-find on the Kolafa-Perram estimate.
+
+    Solves ``real_space_rms_error(kappa) = accuracy * q_scale`` for kappa
+    by bisection, where ``q_scale = max|q|^2 / typical r^2`` normalizes
+    the absolute error estimate to the force scale of the system (HOOMD
+    normalizes by the charge scale the same way; exact digit parity with
+    HOOMD is not claimed — its C++ root-find is not in the mirror — but
+    the estimator family and the alpha=0 auto-tune semantics match).
+
+    Falls back to :func:`auto_kappa` when the system carries no charge.
+    """
+    import numpy as np
+
+    q = np.asarray(charge, np.float64)
+    if not np.any(q != 0.0):
+        return auto_kappa(r_cut)
+    qmax2 = float(np.max(np.abs(q))) ** 2
+    target = accuracy * qmax2 / (float(r_cut) ** 2)
+    lo, hi = 1e-6, 30.0 / float(r_cut)
+    if real_space_rms_error(hi, q, box_L, r_cut) > target:
+        return hi  # cannot reach the target inside r_cut; best effort
+    for _ in range(100):
+        mid = 0.5 * (lo + hi)
+        if real_space_rms_error(mid, q, box_L, r_cut) > target:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
 
 
 def ewald_real_space(
@@ -224,6 +276,45 @@ def ewald_exclusion_correction_incidence(position, box_L, gi, gj, qq_b, kappa):
     forces = jnp.dot(gi.T, f_i, precision=hp, preferred_element_type=dtype) \
         - jnp.dot(gj.T, f_i, precision=hp, preferred_element_type=dtype)
     return forces, energy
+
+
+def ewald_exclusion_correction_strided(position, box_L, qq_b, kappa,
+                                       n_bonds: int):
+    """Exclusion correction for consecutive-pair topology (bond b =
+    particles (2b, 2b+1)): gather/scatter-free at any size.
+
+    Same physics as :func:`ewald_exclusion_correction`; endpoint access is
+    a reshape view and force accumulation the inverse reshape (see
+    ops/bonds.py:harmonic_bond_force_strided for the pattern and measured
+    costs). ``qq_b``: per-bond charge products (Nb,).
+    """
+    dtype = position.dtype
+    n = position.shape[0]
+    kappa = jnp.asarray(kappa, dtype)
+    pp = position[:2 * n_bonds].reshape(n_bonds, 2, 3)
+    dr = minimum_image(pp[:, 0] - pp[:, 1], box_L)  # i - j
+    r2 = jnp.sum(dr * dr, axis=1)
+    r = jnp.sqrt(r2)
+
+    erf_term = 1.0 - erfc(kappa * r)
+    energy = jnp.sum(qq_b * erf_term / r)
+
+    two_over_sqrt_pi = jnp.asarray(2.0 / math.sqrt(math.pi), dtype)
+    fmag = (
+        qq_b
+        * (
+            erf_term / r2
+            - kappa * two_over_sqrt_pi * jnp.exp(-(kappa * r) ** 2) / r
+        )
+        / r
+    )
+    f_i = fmag[:, None] * dr  # force on i (to be SUBTRACTED by the caller)
+    fpair = jnp.stack([f_i, -f_i], axis=1).reshape(2 * n_bonds, 3)
+    if 2 * n_bonds < n:
+        fpair = jnp.concatenate(
+            [fpair, jnp.zeros((n - 2 * n_bonds, 3), dtype)]
+        )
+    return fpair, energy
 
 
 def kspace_vectors(box_L, nmax, dtype):

@@ -76,6 +76,11 @@ class CellList(NamedTuple):
     bucket_idx: jnp.ndarray  # (C, cap) int32 global particle ids (N = empty)
     overflow: jnp.ndarray  # bool — True if any cell exceeded cap
     neighbor_cells: jnp.ndarray  # (C, 27) int32 neighbor cell ids
+    # (N,) int32: flat bucket slot (c*cap + rank) of each particle, C*cap
+    # for overflow-dropped particles. Lets consumers GATHER per-particle
+    # results out of (C, cap)-shaped tile outputs instead of scatter-adding
+    # them (scatter of 221k force rows cost 2.9 ms/step at N=100k, v5e).
+    slot_of: jnp.ndarray = None
 
 
 def neighbor_cell_table(ncells) -> np.ndarray:
@@ -125,22 +130,49 @@ def build_cell_list(position, box_L, cfg: CellListConfig,
     )
     cell = (cell3[:, 0] * cfg.ncells[1] + cell3[:, 1]) * cfg.ncells[2] + cell3[:, 2]
 
-    order = jnp.argsort(cell)
-    sorted_cell = cell[order]
-    # rank within cell = index among sorted minus first index of that cell
-    first_of_cell = jnp.searchsorted(sorted_cell, sorted_cell, side="left")
-    rank = jnp.arange(n) - first_of_cell
+    # Sort a single packed key (cell << bits | index) when it fits int32 —
+    # one fused sort instead of a key-value argsort + gather. The XLA TPU
+    # sort itself is cheap (1.8 ms at N=100k, measured); what was NOT cheap
+    # is the searchsorted this replaces: its binary search is ~17 rounds of
+    # serialized gathers (12+ ms at N=100k, measured v5e). Rank-within-cell
+    # comes from a segment-start running maximum instead — O(N) scan.
+    import numpy as np
+
+    bits = max(int(np.ceil(np.log2(max(n + 1, 2)))), 1)  # static
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if (cfg.total_cells << bits) <= 2**31 - 1:
+        packed = jnp.sort(cell * (1 << bits) + iota)
+        sorted_cell = packed >> bits
+        order = packed & ((1 << bits) - 1)
+    else:
+        order = jnp.argsort(cell).astype(jnp.int32)
+        sorted_cell = cell[order]
+
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_cell[1:] != sorted_cell[:-1]]
+    )
+    first_of_cell = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, iota, 0)
+    )
+    rank = iota - first_of_cell
 
     overflow = jnp.any(rank >= cfg.cap)
     rank_c = jnp.minimum(rank, cfg.cap - 1)
 
     bucket_idx = jnp.full((cfg.total_cells * cfg.cap,), n, jnp.int32)
-    flat = sorted_cell * cfg.cap + rank_c.astype(jnp.int32)
-    bucket_idx = bucket_idx.at[flat].set(order.astype(jnp.int32))
+    flat = sorted_cell * cfg.cap + rank_c
+    bucket_idx = bucket_idx.at[flat].set(order)
+    # inverse map: particle -> flat slot (dump slot C*cap when dropped by
+    # an overflowing bucket, so a force gather reads zeros, not a stranger)
+    dump = jnp.asarray(cfg.total_cells * cfg.cap, jnp.int32)
+    slot_of = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.where(rank < cfg.cap, flat, dump)
+    )
     return CellList(
         bucket_idx=bucket_idx.reshape(cfg.total_cells, cfg.cap),
         overflow=overflow,
         neighbor_cells=jnp.asarray(neighbor_cells, jnp.int32),
+        slot_of=slot_of,
     )
 
 
@@ -294,11 +326,30 @@ def cell_pair_force(
         f_b = f_blocks.reshape(C, cap, 3)
         energies = tuple(jnp.sum(e) for e in e_blocks)
 
-    forces = jnp.zeros((n + 1, 3), dtype)
-    forces = forces.at[idx_b.reshape(-1)].add(f_b.reshape(-1, 3))
+    forces = slot_gather_forces(f_b, clist, n)
     if len(energies) == 1:
-        return forces[:n], energies[0]
-    return forces[:n], energies
+        return forces, energies[0]
+    return forces, energies
+
+
+def slot_gather_forces(f_b, clist: CellList, n):
+    """Per-particle forces from (C, cap, 3) tile output rows.
+
+    Each particle occupies exactly one bucket slot, so the accumulation is
+    a permutation: GATHER by the carried ``slot_of`` map (a 100k-row
+    gather, ~1 ms at N=100k) rather than scatter-adding 221k slot rows
+    (~2.9 ms, measured v5e). Falls back to the scatter when ``slot_of`` is
+    absent.
+    """
+    dtype = f_b.dtype
+    if clist.slot_of is not None:
+        flat = jnp.concatenate(
+            [f_b.reshape(-1, 3), jnp.zeros((1, 3), dtype)]
+        )  # dump row for overflow-dropped particles
+        return flat[clist.slot_of]
+    forces = jnp.zeros((n + 1, 3), dtype)
+    forces = forces.at[clist.bucket_idx.reshape(-1)].add(f_b.reshape(-1, 3))
+    return forces[:n]
 
 
 def make_particle_features(typeid, charge, n_types: int):

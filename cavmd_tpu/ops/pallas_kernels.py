@@ -563,12 +563,13 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
         interpret=interpret,
     )(pi, pj, scal)
 
+    from cavmd_tpu.ops.neighbor import slot_gather_forces
+
     out = out.reshape(C, cap, 8)
-    forces = jnp.zeros((n + 1, 3), dtype)
-    forces = forces.at[idx.reshape(-1)].add(out[:, :, :3].reshape(-1, 3))
+    forces = slot_gather_forces(out[:, :, :3], clist, n)
     e_lj = 0.5 * jnp.sum(out[:, :, 3])
     e_ew = 0.5 * jnp.sum(out[:, :, 4])
-    return (forces[:n].astype(position.dtype),
+    return (forces.astype(position.dtype),
             e_lj.astype(position.dtype), e_ew.astype(position.dtype))
 
 
@@ -651,11 +652,10 @@ def fused_cell_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
         interpret=interpret,
     )(pi, pj, scal)
 
-    forces = jnp.zeros((n + 1, 3), dtype)
-    forces = forces.at[idx.reshape(-1)].add(
-        out[:C, :, :3].reshape(-1, 3)
-    )
+    from cavmd_tpu.ops.neighbor import slot_gather_forces
+
+    forces = slot_gather_forces(out[:C, :, :3], clist, n)
     e_lj = 0.5 * jnp.sum(out[:, :, 3])
     e_ew = 0.5 * jnp.sum(out[:, :, 4])
-    return (forces[:n].astype(position.dtype),
+    return (forces.astype(position.dtype),
             e_lj.astype(position.dtype), e_ew.astype(position.dtype))

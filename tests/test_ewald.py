@@ -141,3 +141,30 @@ def test_auto_kappa():
     from scipy.special import erfc
 
     assert erfc(k * 15.0) == pytest.approx(1e-6, rel=1e-6)
+
+
+def test_auto_kappa_error_estimate():
+    """Kolafa-Perram tuning: root solves the estimate, scales with the
+    system, and falls back cleanly for uncharged systems."""
+    from cavmd_tpu.ops.ewald import (
+        auto_kappa_error_estimate,
+        real_space_rms_error,
+    )
+
+    q = np.array([0.2, -0.2] * 250)
+    box = np.array([46.0, 46.0, 46.0])
+    k = auto_kappa_error_estimate(q, box, 15.0, accuracy=1e-4)
+    target = 1e-4 * 0.2**2 / 15.0**2
+    assert real_space_rms_error(k, q, box, 15.0) == pytest.approx(
+        target, rel=1e-6
+    )
+    # tighter accuracy -> larger kappa (more work pushed to the mesh)
+    k_tight = auto_kappa_error_estimate(q, box, 15.0, accuracy=1e-6)
+    assert k_tight > k
+    # a bigger system (more charges) needs a larger kappa at equal accuracy
+    k_big = auto_kappa_error_estimate(np.tile(q, 8), box, 15.0, accuracy=1e-4)
+    assert k_big > k
+    # uncharged: falls back to the erfc heuristic
+    assert auto_kappa_error_estimate(np.zeros(10), box, 15.0) == pytest.approx(
+        auto_kappa(15.0)
+    )
