@@ -303,6 +303,30 @@ def pppm_reciprocal_energy(position, charge, box_L, params: PPPMParams, order: i
     return _mesh_energy(grid, params, mesh)[0]
 
 
+def pppm_force_and_energy_pallas(position, charge, box_L,
+                                 params: PPPMParams, order: int, mesh):
+    """Forces + energy with the Pallas spread kernel (ops/pppm_pallas.py).
+
+    Same DFT/influence core (:func:`_mesh_energy`); only the spreading
+    stage differs — the (N, Ky*Kz) Khatri-Rao intermediate never touches
+    HBM (410 MB/step at N=100k on the XLA path, measured). The spread's
+    backward is an analytic custom_vjp, so ``value_and_grad`` works
+    unchanged.
+    """
+    from cavmd_tpu.ops.pppm_pallas import spread_grid_pallas
+
+    Kx, Ky, Kz = mesh
+
+    def e_fn(p):
+        grid = spread_grid_pallas(p, charge, box_L, order, tuple(mesh))
+        return _mesh_energy(
+            grid.reshape(Kx, 1, Ky, Kz), params, mesh
+        )[0].astype(position.dtype)
+
+    e, grad = jax.value_and_grad(e_fn)(position)
+    return -grad, e
+
+
 def pppm_force_and_energy(position, charge, box_L, params: PPPMParams, order: int, mesh):
     """Forces (exact -grad of the mesh energy) and reciprocal energy."""
     e, grad = jax.value_and_grad(pppm_reciprocal_energy)(
@@ -386,6 +410,13 @@ def make_pppm_force_energy(order: int, mesh):
 
     @custom_vmap
     def fe(position, charge, box_L, params):
+        from cavmd_tpu.ops.pppm_pallas import pallas_spread_ok
+
+        if (pallas_spread_ok(mesh, n=position.shape[0])
+                and position.dtype == jnp.float32):
+            return pppm_force_and_energy_pallas(
+                position, charge, box_L, params, order, mesh
+            )
         return pppm_force_and_energy(position, charge, box_L, params,
                                      order, mesh)
 

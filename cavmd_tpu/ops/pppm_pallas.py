@@ -1,0 +1,269 @@
+"""Pallas TPU kernel for the PPPM charge-spreading stage.
+
+The XLA spread path (ops/pppm.py:_spread_matrices + one GEMM) is
+MXU-friendly but materializes the Khatri-Rao factor ``B = Sy (x) Sz`` of
+shape (N, Ky*Kz) to HBM — 410 MB/step at N=100k, ~2.5 ms of pure
+bandwidth (measured v5e, xprof). This kernel keeps the whole pipeline in
+VMEM: per chunk of particles it evaluates the B-spline stencils directly
+on (chunk, K) lanes, assembles ``B`` in scratch, and accumulates the
+(Kx, Ky*Kz) grid with one MXU contraction per chunk. HBM traffic drops
+to reading positions/charges once and writing the 128 KB grid.
+
+The backward pass (forces) is the analytic vjp — the same chunk pipeline
+run against the grid cotangent — wired through ``jax.custom_vjp`` so
+``jax.grad`` of the mesh energy works unchanged.
+
+B-spline evaluation in-kernel: S[n, x] = M_p(frac_n + t) where
+``t = (base_n - x) mod K`` (zero outside 0 <= t < p). The Cox-de Boor
+recursion is evaluated SHIFT-INDEXED on full (chunk, K) lanes: level-1 is
+the indicator of [0,1) at shifts s = 0..p-1 and
+``M_n[s] = ((a-s) M_{n-1}[s] + (n-(a-s)) M_{n-1}[s+1]) / (n-1)`` — full
+VPU lane utilization, and the penultimate level gives the analytic
+derivative ``M_p' = M_{p-1}[0] - M_{p-1}[1]`` for free (backward pass).
+
+Parity anchor: this is the TPU answer to the reference GPU's
+shared-memory spreading pivot (CavityForceComputeGPU.cu:323-377); the
+physics matches hoomd.md.long_range.pppm's cloud-in-cell assignment at
+order p (ref examples/05_advanced_run.py:598-604).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Mosaic dots support only DEFAULT and HIGHEST (HIGH raises
+# NotImplementedError); DEFAULT would bf16-round the position-derived
+# weights (the heating-bug regime, ops/bonds.py), so HIGHEST it is — the
+# spread contraction is small enough that the extra passes don't matter.
+_SPREAD_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _stencils(pos_d, K, inv_L, order):
+    """(chunk,) positions along one axis -> S (chunk, K) B-spline weights
+    and dS (chunk, K) their derivative w.r.t. the grid coordinate u."""
+    dtype = pos_d.dtype
+    u = (pos_d * inv_L + 0.5) * K  # grid coords in [0, K)
+    base = jnp.floor(u)
+    frac = (u - base)[:, None]  # (chunk, 1)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1).astype(jnp.float32)
+    t = base[:, None] - lanes
+    t = t - K * jnp.floor(t * (1.0 / K))  # mod K, reciprocal-multiply
+    arg = frac + t  # (chunk, K)
+
+    # shift-indexed Cox-de Boor levels
+    level = [
+        jnp.where((arg - s >= 0.0) & (arg - s < 1.0),
+                  jnp.ones_like(arg), jnp.zeros_like(arg))
+        for s in range(order)
+    ]
+    penultimate = None
+    for n in range(2, order + 1):
+        new = []
+        for s in range(order - n + 1):
+            a = arg - s
+            nxt = level[s + 1] if s + 1 < len(level) else jnp.zeros_like(arg)
+            new.append((a * level[s] + (n - a) * nxt) / (n - 1))
+        if n == order:
+            penultimate = level
+        level = new
+    S = level[0]
+    dS = penultimate[0] - (penultimate[1] if len(penultimate) > 1
+                           else jnp.zeros_like(arg))
+    return S.astype(dtype), dS.astype(dtype)
+
+
+def _spread_fwd_kernel(pos_ref, q_ref, scal_ref, out_ref, bbuf_ref, *,
+                       order, mesh, chunk):
+    Kx, Ky, Kz = mesh
+    i = pl.program_id(0)
+
+    Sx, _ = _stencils(pos_ref[:, 0], Kx, scal_ref[0, 0], order)
+    Sy, _ = _stencils(pos_ref[:, 1], Ky, scal_ref[0, 1], order)
+    Sz, _ = _stencils(pos_ref[:, 2], Kz, scal_ref[0, 2], order)
+    A = q_ref[:, 0:1] * Sx  # (chunk, Kx)
+
+    # Khatri-Rao factor B[n, y*Kz+z] = Sy[n,y] * Sz[n,z], assembled as Ky
+    # broadcast-FMA column writes (no (chunk, Ky, Kz) relayout)
+    for y in range(Ky):
+        bbuf_ref[:, y * Kz:(y + 1) * Kz] = Sy[:, y:y + 1] * Sz
+
+    contrib = jax.lax.dot_general(
+        A, bbuf_ref[...], (((0,), (0,)), ((), ())),
+        precision=_SPREAD_PRECISION, preferred_element_type=jnp.float32,
+    )  # (Kx, Ky*Kz)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(i != 0)
+    def _():
+        out_ref[...] += contrib
+
+
+def _spread_bwd_kernel(pos_ref, q_ref, scal_ref, ct_ref, dpos_ref, bbuf_ref,
+                       *, order, mesh, chunk):
+    Kx, Ky, Kz = mesh
+
+    Sx, dSx = _stencils(pos_ref[:, 0], Kx, scal_ref[0, 0], order)
+    Sy, dSy = _stencils(pos_ref[:, 1], Ky, scal_ref[0, 1], order)
+    Sz, dSz = _stencils(pos_ref[:, 2], Kz, scal_ref[0, 2], order)
+    q = q_ref[:, 0:1]
+    A = q * Sx
+
+    for y in range(Ky):
+        bbuf_ref[:, y * Kz:(y + 1) * Kz] = Sy[:, y:y + 1] * Sz
+
+    ct = ct_ref[...]  # (Kx, Ky*Kz) grid cotangent
+    # dA[n,x] = sum_m B[n,m] ct[x,m];  dB[n,m] = sum_x A[n,x] ct[x,m]
+    dA = jax.lax.dot_general(
+        bbuf_ref[...], ct, (((1,), (1,)), ((), ())),
+        precision=_SPREAD_PRECISION, preferred_element_type=jnp.float32,
+    )  # (chunk, Kx)
+    dB = jax.lax.dot_general(
+        A, ct, (((1,), (0,)), ((), ())),
+        precision=_SPREAD_PRECISION, preferred_element_type=jnp.float32,
+    )  # (chunk, Ky*Kz)
+
+    # dSy[:, y] = sum_z dB[:, y*Kz+z] Sz[:, z];  dSz += dB_slice * Sy_col
+    gSz = jnp.zeros_like(Sz)
+    gSy_cols = []
+    for y in range(Ky):
+        sl = dB[:, y * Kz:(y + 1) * Kz]
+        gSy_cols.append(jnp.sum(sl * Sz, axis=1, keepdims=True))
+        gSz = gSz + sl * Sy[:, y:y + 1]
+    gSy = jnp.concatenate(gSy_cols, axis=1)  # (chunk, Ky)
+    gSx = q * dA
+
+    # chain through u = (pos/L + 0.5) K: dpos_d = (K_d/L_d) sum_x gS dS
+    dpos_ref[:, 0:1] = scal_ref[0, 0] * Kx * jnp.sum(
+        gSx * dSx, axis=1, keepdims=True)
+    dpos_ref[:, 1:2] = scal_ref[0, 1] * Ky * jnp.sum(
+        gSy * dSy, axis=1, keepdims=True)
+    dpos_ref[:, 2:3] = scal_ref[0, 2] * Kz * jnp.sum(
+        gSz * dSz, axis=1, keepdims=True)
+
+
+def _pad_chunk(x, chunk, fill=0.0):
+    n = x.shape[0]
+    pad = (-n) % chunk
+    if pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def spread_grid_pallas(position, charge, box_L, order, mesh, chunk=256,
+                       interpret=False):
+    """Charge grid (Kx, Ky*Kz) via the Pallas spread kernel.
+
+    Differentiable in ``position`` (analytic vjp). ``charge``/``box_L``
+    receive zero cotangents (never differentiated in this framework).
+    """
+    return _spread_call(position, charge, box_L, order, mesh, chunk,
+                        interpret)
+
+
+def _spread_call(position, charge, box_L, order, mesh, chunk, interpret):
+    Kx, Ky, Kz = mesh
+    n = position.shape[0]
+    pos = _pad_chunk(position.astype(jnp.float32), chunk)
+    q = _pad_chunk(charge.astype(jnp.float32), chunk)[:, None]
+    n_pad = pos.shape[0]
+    inv_box = (1.0 / jnp.asarray(box_L, jnp.float32)).reshape(1, 3)
+
+    kernel = functools.partial(_spread_fwd_kernel, order=order, mesh=mesh,
+                               chunk=chunk)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # inv box (1, 3)
+        ],
+        out_specs=pl.BlockSpec((Kx, Ky * Kz), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Kx, Ky * Kz), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((chunk, Ky * Kz), jnp.float32)],
+        interpret=interpret,
+    )(pos, q, inv_box)
+
+
+def _spread_fwd(position, charge, box_L, order, mesh, chunk, interpret):
+    grid = _spread_call(position, charge, box_L, order, mesh, chunk,
+                        interpret)
+    return grid, (position, charge, box_L)
+
+
+def _spread_bwd(order, mesh, chunk, interpret, res, ct):
+    position, charge, box_L = res
+    Kx, Ky, Kz = mesh
+    n = position.shape[0]
+    pos = _pad_chunk(position.astype(jnp.float32), chunk)
+    q = _pad_chunk(charge.astype(jnp.float32), chunk)[:, None]
+    n_pad = pos.shape[0]
+    inv_box = (1.0 / jnp.asarray(box_L, jnp.float32)).reshape(1, 3)
+
+    kernel = functools.partial(_spread_bwd_kernel, order=order, mesh=mesh,
+                               chunk=chunk)
+    dpos = pl.pallas_call(
+        kernel,
+        grid=(n_pad // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # inv box
+            pl.BlockSpec((Kx, Ky * Kz), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),  # ct (fetched once)
+        ],
+        out_specs=pl.BlockSpec((chunk, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((chunk, Ky * Kz), jnp.float32)],
+        interpret=interpret,
+    )(pos, q, inv_box, ct.astype(jnp.float32))
+    dpos = dpos[:n].astype(position.dtype)
+    return (dpos, jnp.zeros_like(charge), jnp.zeros_like(box_L))
+
+
+spread_grid_pallas.defvjp(_spread_fwd, _spread_bwd)
+
+
+def pallas_spread_ok(mesh, n=None, backend=None) -> bool:
+    """Static predicate: is the Pallas spread applicable AND profitable?
+
+    Currently opt-in only (CAVMD_PPPM_PALLAS=1): measured on v5e the
+    kernel LOSES to the XLA GEMM path at both scales — 50 vs 20 us at
+    N=501 (call overhead), 7.5 vs 3.7 ms at N=100k — despite eliminating
+    the 410 MB (N, Ky*Kz) HBM intermediate. The loss is lane/row
+    underfill: every per-axis array is K=32 wide (25% of the 128 lanes),
+    the accumulation dot has M=32 rows (25% of the MXU), and Mosaic dots
+    only offer DEFAULT (unsafe: bf16-rounds position-derived weights) or
+    HIGHEST (bf16x6, 2x the XLA path's HIGH). Kept as a correct,
+    tested foundation — profitable once columns are batched 4-wide into
+    full lanes — not as the default.
+    """
+    import os
+
+    if os.environ.get("CAVMD_PPPM_PALLAS", "0") != "1":
+        return False
+    Ky, Kz = mesh[1], mesh[2]
+    if (Ky * Kz) % 128 != 0:
+        return False
+    if n is not None and n < 8192:
+        return False
+    backend = backend or jax.default_backend()
+    return backend == "tpu"
