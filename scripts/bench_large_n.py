@@ -55,14 +55,35 @@ def main():
     jax.block_until_ready(state.position)
 
     n_chunks = 5
+    e_univ = []
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        state, _ = runner(state, chunk)
+        state, obs = runner(state, chunk)
+        e_univ.append(obs)
     jax.block_until_ready(state.position)
     wall = time.perf_counter() - t0
     ms = wall / (n_chunks * chunk) * 1e3
     print(f"N={snap.N}: {ms:.2f} ms/step ({n_chunks * chunk / wall:.1f} steps/s)"
           f" [backend={jax.default_backend()}]")
+
+    # physics sanity at scale: the universe energy (system + reservoirs)
+    # must be conserved across the timed window (f32, thermostatted).
+    # Measured context (v5e, N=100k): the band is ~1.4 Ha at dt=0.25 fs,
+    # 0.38 at 0.125, 0.11 at 0.0625 — clean dt^2 velocity-Verlet error on
+    # the ~30 Ha cavity dipole-self oscillation (corr +0.96), identical
+    # between the Pallas and XLA pair paths. Not a precision or kernel
+    # artifact; the reference's adaptive dt exists for exactly this.
+    from cavmd_tpu.integrate import universe_energy
+
+    eu = np.concatenate([np.asarray(universe_energy(o)) for o in e_univ])
+    per_chunk = [
+        float(np.ptp(np.asarray(universe_energy(o)))) for o in e_univ
+    ]
+    print(f"universe-energy drift over {len(eu)} steps: "
+          f"{eu.max() - eu.min():.2e} Ha (N={snap.N}, f32; per-chunk "
+          f"{['%.1e' % p for p in per_chunk]})")
+    assert not np.any(np.concatenate(
+        [np.asarray(o["cell_overflow"]) for o in e_univ]))
 
     # --- utilization figure (VERDICT r1 item 10) -----------------------
     # The step is dominated by the Pallas cell tile pass (compute-bound:
