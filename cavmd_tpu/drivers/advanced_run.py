@@ -531,7 +531,10 @@ def run_vmapped_replicas(args, replica_list):
     os.chdir(exp_dir)
     try:
         dtype = np.float64 if precision == "f64" else np.float32
-        snap = make_diatomic_system(args.n_molecules, seed=args.seed, dtype=dtype)
+        snap = make_diatomic_system(
+            args.n_molecules, box_L=resolved_box(args), seed=args.seed,
+            dtype=dtype,
+        )
         ff0 = ForceField.create(snap, enable_cavity=False)
         snap = fire_minimize(snap, ff0, n_steps=300)
         if incavity:
@@ -675,6 +678,14 @@ def run_vmapped_replicas(args, replica_list):
         os.chdir(cwd)
 
 
+def resolved_box(args) -> float:
+    """--box-L, or the reference box scaled at constant density
+    (46.0 bohr at 250 molecules, core/system.py)."""
+    if getattr(args, "box_L", None):
+        return float(args.box_L)
+    return 46.0 * (args.n_molecules / 250.0) ** (1.0 / 3.0)
+
+
 def _method_spec(kind, group, kT, tau_ps, args=None):
     from cavmd_tpu.core.units import PhysicalConstants as PC
     from cavmd_tpu.integrate import MethodSpec
@@ -745,6 +756,7 @@ def run_single_experiment(args, replica, frame):
         truncate_gsd=args.truncate_gsd,
         seed=args.seed + replica if args.seed is not None else None,
         n_molecules=args.n_molecules,
+        box_L=resolved_box(args),
         precision=args.precision,
         shard_atoms=args.shard_atoms,
         pad_atoms=args.pad_atoms,
@@ -805,6 +817,10 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--n-molecules", type=int, default=250,
                         help="molecules when generating a missing input GSD")
+    parser.add_argument("--box-L", type=float, default=None,
+                        help="cubic box edge (bohr) for the generated "
+                             "system; default scales the reference box "
+                             "(46.0 at 250 molecules) at constant density")
     parser.add_argument("--precision", type=str, default="auto",
                         choices=["auto", "f32", "f64"],
                         help="auto = f64 on CPU (fidelity), f32 on TPU/GPU")

@@ -180,3 +180,19 @@ def test_vmap_replicas(tmp_path, monkeypatch):
         p1 = np.asarray(t1[-1].position)
         p2 = np.asarray(t2[-1].position)
     assert not np.allclose(p1, p2)
+
+
+def test_resolved_box_constant_density():
+    """--box-L default scales the reference box at constant density;
+    an explicit value wins (the reference scene is 250 molecules in
+    46.0 bohr, core/system.py)."""
+    from cavmd_tpu.drivers.advanced_run import build_parser, resolved_box
+
+    p = build_parser()
+    assert resolved_box(p.parse_args([])) == pytest.approx(46.0)
+    args8 = p.parse_args(["--n-molecules", "2000"])
+    assert resolved_box(args8) == pytest.approx(46.0 * 2.0)  # 8x molecules
+    rho_ref = 250 / 46.0**3
+    assert 2000 / resolved_box(args8) ** 3 == pytest.approx(rho_ref)
+    explicit = p.parse_args(["--n-molecules", "2000", "--box-L", "50.0"])
+    assert resolved_box(explicit) == 50.0
