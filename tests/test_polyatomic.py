@@ -1,0 +1,211 @@
+"""Polyatomic (triatomic CO2-like) topology end-to-end.
+
+The reference inherits HOOMD's support for arbitrary molecules
+(nlist exclusions=('bond',), per-type bond tables); the diatomic
+reference scene never exercises it. This builds a linear OCO triatomic
+liquid whose bond_group [[3m, 3m+1], [3m, 3m+2]] is NOT the
+consecutive-pair pattern — driving the generic (incidence/scatter) bond
+and exclusion paths, the auto-sized exclusion tables (degree 2 centers),
+and the charged-molecule Ewald exclusion correction.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cavmd_tpu.core import PhysicalConstants as PC
+from cavmd_tpu.core.snapshot import Snapshot
+from cavmd_tpu.integrate import (
+    ForceField,
+    MethodSpec,
+    init_state,
+    make_step_fn,
+    resolve_methods,
+    run_steps,
+)
+from tests.oracle import (
+    oracle_ewald_real,
+    oracle_harmonic_bonds,
+    oracle_lj_shifted,
+)
+
+R0 = 2.2  # C=O bond length (bohr)
+KB = 0.8  # bond spring constant
+LJ = {
+    ("C", "C"): dict(epsilon=2.0e-4, sigma=5.2),
+    ("O", "O"): dict(epsilon=1.6e-4, sigma=5.8),
+    ("C", "O"): dict(epsilon=1.8e-4, sigma=5.5),
+}
+
+
+def make_triatomic_system(n_mol=27, box_L=36.0, seed=0):
+    rng = np.random.default_rng(seed)
+    n_side = int(np.ceil(n_mol ** (1 / 3)))
+    spacing = box_L / n_side
+    grid = np.arange(n_side) * spacing - box_L / 2 + spacing / 2
+    centers = np.stack(
+        np.meshgrid(grid, grid, grid, indexing="ij"), axis=-1
+    ).reshape(-1, 3)[:n_mol]
+    u = rng.normal(size=(n_mol, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+
+    pos = np.empty((3 * n_mol, 3))
+    pos[0::3] = centers  # C
+    pos[1::3] = centers + R0 * u  # O
+    pos[2::3] = centers - R0 * u  # O (linear molecule)
+    pos += rng.normal(scale=0.08, size=pos.shape)  # strain bonds/pairs
+
+    typeid = np.tile([0, 1, 1], n_mol)
+    charge = np.tile([0.4, -0.2, -0.2], n_mol)  # neutral, dipole-free
+    mass = np.tile([21894.0, 29164.0, 29164.0], n_mol)
+    base = 3 * np.arange(n_mol)
+    bond_group = np.stack(
+        [np.repeat(base, 2), np.stack([base + 1, base + 2], 1).reshape(-1)],
+        axis=1,
+    )
+    return Snapshot.create(
+        pos, [box_L] * 3, typeid=typeid, charge=charge, mass=mass,
+        types=("C", "O"), bond_group=bond_group,
+        bond_typeid=np.zeros(len(bond_group), np.int64),
+        bond_types=("C-O",), dtype=jnp.float64,
+    )
+
+
+@pytest.fixture(scope="module")
+def tri():
+    snap = make_triatomic_system()
+    ff = ForceField.create(
+        snap, enable_cavity=False, lj_params=LJ,
+        bond_params={"C-O": dict(k=KB, r0=R0)}, r_cut=12.0,
+        pppm_mesh=(16, 16, 16),
+    )
+    return snap, ff
+
+
+def test_generic_paths_selected(tri):
+    snap, ff = tri
+    assert not ff.bonds_strided  # [[0,1],[0,2],...] is not consecutive
+    # auto-sized exclusion capacity fits the degree-2 carbon centers
+    assert ff.cell_exclusions is None or ff.cell_exclusions.shape[1] >= 2
+
+
+def test_forces_match_oracle(tri):
+    snap, ff = tri
+    pos = np.asarray(snap.position)
+    box = np.asarray(snap.box_L)
+    f, energies = ff.compute(
+        snap.position, snap.image, snap.box_L, snap.charge, snap.typeid,
+        snap.bond_group, snap.bond_typeid,
+    )
+
+    fb, eb = oracle_harmonic_bonds(
+        pos, box, np.asarray(snap.bond_group),
+        np.asarray(snap.bond_typeid), [KB], [R0],
+    )
+    excl = {tuple(b) for b in np.asarray(snap.bond_group)}
+    excl |= {(j, i) for i, j in excl}
+    eps = np.zeros((2, 2))
+    sig = np.zeros((2, 2))
+    for (a, b), p in LJ.items():
+        i, j = snap.types.index(a), snap.types.index(b)
+        eps[i, j] = eps[j, i] = p["epsilon"]
+        sig[i, j] = sig[j, i] = p["sigma"]
+    rcut = np.full((2, 2), 12.0)
+    flj, elj = oracle_lj_shifted(
+        pos, box, np.asarray(snap.typeid), eps, sig, rcut,
+        excluded_pairs=excl,
+    )
+    few, eew = oracle_ewald_real(
+        pos, box, np.asarray(snap.charge), float(ff.kappa), 12.0,
+        excluded_pairs=excl,
+    )
+    np.testing.assert_allclose(
+        np.asarray(energies["harmonic"]), eb, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(energies["lj"]), elj, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(energies["ewald_short"]), eew, rtol=1e-9)
+    # total force minus the reciprocal part (oracled elsewhere,
+    # tests/test_ewald.py) = bond + LJ + ewald-short - exclusion corr;
+    # verify the oracled parts dominate and match by subtracting the
+    # mesh gradient computed by the same framework path
+    from cavmd_tpu.ops.ewald import (
+        ewald_exclusion_correction,
+        ewald_self_energy,
+    )
+    from cavmd_tpu.ops.pppm import pppm_force_and_energy
+
+    f_rec, _ = pppm_force_and_energy(
+        snap.position, snap.charge, snap.box_L, ff.pppm, ff.pppm_order,
+        tuple(ff.pppm_mesh),
+    )
+    f_corr, _ = ewald_exclusion_correction(
+        snap.position, snap.box_L, snap.charge, ff.kappa, snap.bond_group
+    )
+    f_short = np.asarray(f - f_rec + f_corr)
+    scale = np.abs(fb + flj + few).max()
+    np.testing.assert_allclose(
+        f_short, fb + flj + few, atol=1e-9 * scale)
+
+
+def test_cell_mode_matches_dense(tri):
+    """Cell-list path (auto-sized exclusion tables) on the polyatomic
+    topology must reproduce the dense path."""
+    snap, ff = tri
+    ff_cell = ForceField.create(
+        snap, enable_cavity=False, lj_params=LJ,
+        bond_params={"C-O": dict(k=KB, r0=R0)}, r_cut=12.0,
+        pppm_mesh=(16, 16, 16), pair_mode="cell",
+    )
+    f_d, e_d = ff.compute(
+        snap.position, snap.image, snap.box_L, snap.charge, snap.typeid,
+        snap.bond_group, snap.bond_typeid,
+    )
+    f_c, e_c = ff_cell.compute(
+        snap.position, snap.image, snap.box_L, snap.charge, snap.typeid,
+        snap.bond_group, snap.bond_typeid,
+    )
+    assert not bool(e_c["cell_overflow"])
+    scale = float(jnp.abs(f_d).max())
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_d),
+                               atol=1e-10 * scale)
+    for k in ("lj", "ewald_short", "harmonic"):
+        np.testing.assert_allclose(
+            float(e_c[k]), float(e_d[k]), rtol=1e-9)
+
+
+def test_nve_energy_conservation(tri):
+    """f64 NVE: the conservative force mix (bonds + LJ + full Ewald) on
+    the polyatomic topology must conserve total energy tightly."""
+    snap, ff = tri
+    methods = resolve_methods(
+        snap, (MethodSpec(kind="nve", group="all"),), ff.l_typeid
+    )
+    step = make_step_fn(ff, methods)
+    # small thermal velocities (f64)
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=(snap.N, 3)) * np.sqrt(
+        PC.kT_from_kelvin(60.0) / np.asarray(snap.mass)
+    )[:, None]
+    snap2 = snap.replace(velocity=jnp.asarray(v, jnp.float64))
+    state = init_state(snap2, ff, dt=PC.fs_to_atomic_units(0.125), seed=3)
+    runner = jax.jit(
+        lambda s, n: run_steps(step, s, n), static_argnums=(1,)
+    )
+
+    def etot(st):
+        ke = 0.5 * jnp.sum(jnp.asarray(snap.mass)[:, None] * st.velocity**2)
+        _, en = ff.compute(
+            st.position, st.image, snap.box_L, snap.charge, snap.typeid,
+            snap.bond_group, snap.bond_typeid,
+        )
+        return float(ke + sum(
+            v for k, v in en.items() if k != "cell_overflow"))
+
+    e0 = etot(state)
+    state, _ = runner(state, 2000)
+    e1 = etot(state)
+    # finite-dt Verlet error bound (measured ~1.6e-5 at dt=0.125 fs over
+    # this window; scales as dt^2). Wrong forces on the polyatomic paths
+    # would miss this by orders of magnitude.
+    assert abs(e1 - e0) < 1e-4
