@@ -10,10 +10,21 @@ the mesh energy (analytic B-spline differentiation). This makes the
 long-range force strictly conservative — the property the reference's
 universe-energy oracle tests (``src/cavitymd/analysis.py:954-958``).
 
-Everything is shape-static: scatter of N*p^3 weighted charges onto a
-(K,K,K) grid, ``jnp.fft.fftn``, an elementwise Green's-function multiply
-with precomputed influence coefficients, inverse FFT, and a gather. On a
-sharded particle axis the grid contributions combine with one ``psum``.
+Everything is shape-static and gather/scatter-free: separable B-spline
+assignment as one (Kx, N) @ (N, Ky*Kz) MXU contraction, the 3-D DFT as
+per-axis matmuls with precomputed stacked half-spectrum DFT matrices (see
+``_mesh_energy``), an elementwise influence multiply, and forces as the
+autodiff gradient. On a sharded particle axis the grid contributions
+combine with one ``psum``.
+
+Mesh-resolution scaling caveat: the reference driver fixes resolution
+32^3 regardless of N (05_advanced_run.py:601), and this module matches
+that benchmark configuration. At much larger N the physically consistent
+mesh grows like N^(1/3), and the dense Khatri-Rao spread factor
+(N, Ky*Kz) grows with it — at N=100k / 64^3 it is 1.6 GB. Large meshes
+need a grid-partitioned spread (the opt-in Pallas kernel in
+``ops/pppm_pallas.py`` is the staging point; its VMEM-resident grid caps
+at ~(64, 64*64) f32 today).
 """
 
 from __future__ import annotations

@@ -174,6 +174,33 @@ def test_cell_mode_matches_dense(tri):
             float(e_c[k]), float(e_d[k]), rtol=1e-9)
 
 
+def test_bond_paths_agree(tri):
+    """The scatter fallback (the only path for huge polyatomic systems)
+    matches the incidence-matmul path on the shared-center topology.
+    (The strided path needs pairwise-disjoint consecutive bonds and is
+    oracle-covered by the diatomic tests.)"""
+    from cavmd_tpu.ops.bonds import (
+        bond_incidence,
+        harmonic_bond_force,
+        harmonic_bond_force_incidence,
+    )
+
+    snap, ff = tri
+    kb = jnp.full((snap.n_bonds,), KB, jnp.float64)
+    rb = jnp.full((snap.n_bonds,), R0, jnp.float64)
+    f_sc, e_sc = harmonic_bond_force(
+        snap.position, snap.box_L, snap.bond_group, snap.bond_typeid,
+        jnp.asarray([KB], jnp.float64), jnp.asarray([R0], jnp.float64),
+    )
+    gi, gj = bond_incidence(snap.N, snap.bond_group, jnp.float64)
+    f_in, e_in = harmonic_bond_force_incidence(
+        snap.position, snap.box_L, gi, gj, kb, rb
+    )
+    np.testing.assert_allclose(np.asarray(f_in), np.asarray(f_sc),
+                               atol=1e-12)
+    assert float(e_in) == pytest.approx(float(e_sc), rel=1e-12)
+
+
 def test_nve_energy_conservation(tri):
     """f64 NVE: the conservative force mix (bonds + LJ + full Ewald) on
     the polyatomic topology must conserve total energy tightly."""
