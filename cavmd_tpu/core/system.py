@@ -32,6 +32,17 @@ LJ_PARAMS = {
 MASS_O = 15.999 * 1822.888486
 MASS_N = 14.007 * 1822.888486
 
+# the reference scene: 250 molecules in a 46.0-bohr box (init-0.gsd)
+REFERENCE_N_MOLECULES = 250
+REFERENCE_BOX_L = 46.0
+
+
+def reference_box_for(n_molecules: int) -> float:
+    """Cubic box edge holding ``n_molecules`` at the reference scene's
+    density (the single source for constant-density scaling — used by the
+    driver's --box-L default and the large-N benchmark)."""
+    return REFERENCE_BOX_L * (n_molecules / REFERENCE_N_MOLECULES) ** (1 / 3)
+
 
 def make_diatomic_system(
     n_molecules: int = 250,

@@ -652,14 +652,23 @@ def run_vmapped_replicas(args, replica_list):
             remaining = args.runtime - elapsed
             if (remaining <= 0).all():
                 break
-            # trim the chunk to the slowest-clock unfinished replica so no
-            # replica overshoots runtime_ps by more than ~1 step
+            # trim the chunk to (a) the slowest-clock unfinished replica so
+            # no replica overshoots runtime_ps by more than ~1 step, and
+            # (b) the next due GSD frame — frame cadence is only checked at
+            # chunk boundaries, so a whole runtime fitting in one chunk
+            # would otherwise skip every periodic frame (adaptive dt ramps
+            # can make the step estimate span the full run)
             dt_ps = np.asarray(batched.dt) * PC.TIME_PS_CONVERSION
             live = remaining > 0
-            est = int(np.ceil(
-                (remaining[live] / np.maximum(dt_ps[live], 1e-30)).min()
-            ))
-            batched, obs = runner(batched, min(chunk, max(1, est)))
+            safe_dt = np.maximum(dt_ps[live], 1e-30)
+            est = int(np.ceil((remaining[live] / safe_dt).min()))
+            till_gsd = np.maximum(
+                (last_gsd_ps + args.gsd_output_period_ps - elapsed)[live],
+                0.0,
+            )
+            est_gsd = int(np.ceil((till_gsd / safe_dt).min()))
+            n_next = min(chunk, max(1, est), max(1, est_gsd))
+            batched, obs = runner(batched, n_next)
             per = split_replica_obs(obs, n_rep)
             for per_rep, o in zip(trackers, per):
                 for tr in per_rep:
@@ -680,10 +689,12 @@ def run_vmapped_replicas(args, replica_list):
 
 def resolved_box(args) -> float:
     """--box-L, or the reference box scaled at constant density
-    (46.0 bohr at 250 molecules, core/system.py)."""
+    (core/system.py:reference_box_for)."""
     if getattr(args, "box_L", None):
         return float(args.box_L)
-    return 46.0 * (args.n_molecules / 250.0) ** (1.0 / 3.0)
+    from cavmd_tpu.core.system import reference_box_for
+
+    return reference_box_for(args.n_molecules)
 
 
 def _method_spec(kind, group, kT, tau_ps, args=None):

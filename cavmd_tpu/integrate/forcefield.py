@@ -77,7 +77,6 @@ class ForceField:
     bond_gj: jnp.ndarray = None
     bond_k_per: jnp.ndarray = None  # (Nb,) per-bond parameters
     bond_r0_per: jnp.ndarray = None
-    bond_qq_per: jnp.ndarray = None  # (Nb,) q_i*q_j for exclusion corr
     # cell-list backend data (None-shaped placeholders in dense mode)
     lj_eps: jnp.ndarray = None  # (T,T) type tables for the cell kernels
     lj_sigma: jnp.ndarray = None
@@ -306,13 +305,12 @@ class ForceField:
             f_rec, e_rec = pppm_fe(position, charge, box_L, self.pppm)
             if self.bonds_strided:
                 f_corr, e_corr = ewald_exclusion_correction_strided(
-                    position, box_L, self.bond_qq_per, self.kappa,
-                    self.n_bonds,
+                    position, box_L, charge, self.kappa, self.n_bonds,
                 )
             elif self.bond_gi is not None:
                 f_corr, e_corr = ewald_exclusion_correction_incidence(
                     position, box_L, self.bond_gi, self.bond_gj,
-                    self.bond_qq_per, self.kappa,
+                    charge, self.kappa,
                 )
             else:
                 f_corr, e_corr = ewald_exclusion_correction(
@@ -389,15 +387,12 @@ class ForceField:
         # topology -> reshape-strided (zero gathers, any size); else
         # incidence matmuls for small systems; else the scatter fallback
         nb = snapshot.n_bonds
-        bond_gi = bond_gj = bond_k_per = bond_r0_per = bond_qq_per = None
+        bond_gi = bond_gj = bond_k_per = bond_r0_per = None
         bonds_strided = bonds_are_consecutive(snapshot.bond_group)
         if nb > 0:
             btid = np.asarray(snapshot.bond_typeid)
             bond_k_per = jnp.asarray(np.asarray(bond_k)[btid], dtype)
             bond_r0_per = jnp.asarray(np.asarray(bond_r0)[btid], dtype)
-            bg = np.asarray(snapshot.bond_group)
-            q_np = np.asarray(snapshot.charge)
-            bond_qq_per = jnp.asarray(q_np[bg[:, 0]] * q_np[bg[:, 1]], dtype)
         if not bonds_strided and 0 < nb * snapshot.N <= 8_000_000:
             bond_gi, bond_gj = bond_incidence(
                 snapshot.N, snapshot.bond_group, dtype
@@ -520,7 +515,6 @@ class ForceField:
             bond_gj=bond_gj,
             bond_k_per=bond_k_per,
             bond_r0_per=bond_r0_per,
-            bond_qq_per=bond_qq_per,
             lj_pair=lj_pair,
             excl_mask=excl,
             cavity=cav,
@@ -553,7 +547,7 @@ jax.tree_util.register_dataclass(
     ForceField,
     data_fields=[
         "bond_k", "bond_r0",
-        "bond_gi", "bond_gj", "bond_k_per", "bond_r0_per", "bond_qq_per",
+        "bond_gi", "bond_gj", "bond_k_per", "bond_r0_per",
         "lj_pair", "excl_mask",
         "cavity", "coulomb_active", "kappa", "pppm",
         "lj_eps", "lj_sigma", "lj_rcut",

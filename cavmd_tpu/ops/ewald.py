@@ -197,6 +197,32 @@ def ewald_self_energy(charge, kappa):
     )
 
 
+def _excl_pair_terms(dr, qq, kappa, dtype):
+    """Shared physics of the exclusion correction: per-bond energy terms
+    and the force on endpoint i (``fmag * dr``), given min-imaged
+    displacements ``dr`` (Nb, 3) and charge products ``qq`` (Nb,).
+
+    d/dr [erf(kr)/r] = [2k/sqrt(pi) exp(-k^2 r^2) - erf(kr)/r] / r.
+    The three variants below differ only in endpoint access and force
+    accumulation (gather/scatter vs incidence matmuls vs reshape views).
+    """
+    kappa = jnp.asarray(kappa, dtype)
+    r2 = jnp.sum(dr * dr, axis=1)
+    r = jnp.sqrt(r2)
+    erf_term = 1.0 - erfc(kappa * r)
+    energy = jnp.sum(qq * erf_term / r)
+    two_over_sqrt_pi = jnp.asarray(2.0 / math.sqrt(math.pi), dtype)
+    fmag = (
+        qq
+        * (
+            erf_term / r2
+            - kappa * two_over_sqrt_pi * jnp.exp(-(kappa * r) ** 2) / r
+        )
+        / r
+    )
+    return fmag[:, None] * dr, energy
+
+
 def ewald_exclusion_correction(position, box_L, charge, kappa, bond_group):
     """Remove the reciprocal-space contribution of excluded (bonded) pairs.
 
@@ -209,28 +235,10 @@ def ewald_exclusion_correction(position, box_L, charge, kappa, bond_group):
     if bond_group.shape[0] == 0:
         return jnp.zeros_like(position), jnp.zeros((), dtype)
 
-    kappa = jnp.asarray(kappa, dtype)
     i = bond_group[:, 0]
     j = bond_group[:, 1]
     dr = minimum_image(position[i] - position[j], box_L)
-    r2 = jnp.sum(dr * dr, axis=1)
-    r = jnp.sqrt(r2)
-    qq = charge[i] * charge[j]
-
-    erf_term = 1.0 - erfc(kappa * r)
-    energy = jnp.sum(qq * erf_term / r)
-
-    # d/dr [erf(kr)/r] = [2k/sqrt(pi) exp(-k^2r^2) - erf(kr)/r] / r
-    two_over_sqrt_pi = jnp.asarray(2.0 / math.sqrt(math.pi), dtype)
-    fmag = (
-        qq
-        * (
-            erf_term / r2
-            - kappa * two_over_sqrt_pi * jnp.exp(-(kappa * r) ** 2) / r
-        )
-        / r
-    )
-    f_i = fmag[:, None] * dr  # force on i from the *correction* potential
+    f_i, energy = _excl_pair_terms(dr, charge[i] * charge[j], kappa, dtype)
 
     forces = jnp.zeros((n, 3), dtype)
     forces = forces.at[i].add(f_i)
@@ -238,47 +246,34 @@ def ewald_exclusion_correction(position, box_L, charge, kappa, bond_group):
     return forces, energy
 
 
-def ewald_exclusion_correction_incidence(position, box_L, gi, gj, qq_b, kappa):
+def ewald_exclusion_correction_incidence(position, box_L, gi, gj, charge,
+                                         kappa):
     """Exclusion correction via bond-incidence matmuls (zero gathers).
 
     Same physics as :func:`ewald_exclusion_correction`; the endpoint
     gathers + force scatter-adds cost ~35 us/step at Nb=250 on v5e (XLA
     serializes them, and under a vmapped replica batch they serialize per
     replica) — with static topology the dataflow is the same four small
-    MXU matmuls as the incidence bond path (ops/bonds.py:18-35).
-
-    ``qq_b``: per-bond charge products q_i*q_j (Nb,), precomputed at setup.
+    MXU matmuls as the incidence bond path (ops/bonds.py:18-35). Charge
+    products come from the live ``charge`` argument (two matvecs), so
+    every branch of the dispatch sees the same electrostatics.
     """
     dtype = position.dtype
-    kappa = jnp.asarray(kappa, dtype)
     # HIGHEST: position-carrying matmuls must not round to bf16 (see
-    # ops/bonds.py heating-bug note)
+    # ops/bonds.py heating-bug note); charges get the same treatment
     hp = jax.lax.Precision.HIGHEST
     pos_i = jnp.dot(gi, position, precision=hp, preferred_element_type=dtype)
     pos_j = jnp.dot(gj, position, precision=hp, preferred_element_type=dtype)
+    q_i = jnp.dot(gi, charge, precision=hp, preferred_element_type=dtype)
+    q_j = jnp.dot(gj, charge, precision=hp, preferred_element_type=dtype)
     dr = minimum_image(pos_i - pos_j, box_L)
-    r2 = jnp.sum(dr * dr, axis=1)
-    r = jnp.sqrt(r2)
-
-    erf_term = 1.0 - erfc(kappa * r)
-    energy = jnp.sum(qq_b * erf_term / r)
-
-    two_over_sqrt_pi = jnp.asarray(2.0 / math.sqrt(math.pi), dtype)
-    fmag = (
-        qq_b
-        * (
-            erf_term / r2
-            - kappa * two_over_sqrt_pi * jnp.exp(-(kappa * r) ** 2) / r
-        )
-        / r
-    )
-    f_i = fmag[:, None] * dr
+    f_i, energy = _excl_pair_terms(dr, q_i * q_j, kappa, dtype)
     forces = jnp.dot(gi.T, f_i, precision=hp, preferred_element_type=dtype) \
         - jnp.dot(gj.T, f_i, precision=hp, preferred_element_type=dtype)
     return forces, energy
 
 
-def ewald_exclusion_correction_strided(position, box_L, qq_b, kappa,
+def ewald_exclusion_correction_strided(position, box_L, charge, kappa,
                                        n_bonds: int):
     """Exclusion correction for consecutive-pair topology (bond b =
     particles (2b, 2b+1)): gather/scatter-free at any size.
@@ -286,29 +281,16 @@ def ewald_exclusion_correction_strided(position, box_L, qq_b, kappa,
     Same physics as :func:`ewald_exclusion_correction`; endpoint access is
     a reshape view and force accumulation the inverse reshape (see
     ops/bonds.py:harmonic_bond_force_strided for the pattern and measured
-    costs). ``qq_b``: per-bond charge products (Nb,).
+    costs). Charge products come from the live ``charge`` argument via the
+    same reshape view.
     """
     dtype = position.dtype
     n = position.shape[0]
-    kappa = jnp.asarray(kappa, dtype)
     pp = position[:2 * n_bonds].reshape(n_bonds, 2, 3)
+    qq_b = charge[:2 * n_bonds].reshape(n_bonds, 2).prod(axis=1)
     dr = minimum_image(pp[:, 0] - pp[:, 1], box_L)  # i - j
-    r2 = jnp.sum(dr * dr, axis=1)
-    r = jnp.sqrt(r2)
-
-    erf_term = 1.0 - erfc(kappa * r)
-    energy = jnp.sum(qq_b * erf_term / r)
-
-    two_over_sqrt_pi = jnp.asarray(2.0 / math.sqrt(math.pi), dtype)
-    fmag = (
-        qq_b
-        * (
-            erf_term / r2
-            - kappa * two_over_sqrt_pi * jnp.exp(-(kappa * r) ** 2) / r
-        )
-        / r
-    )
-    f_i = fmag[:, None] * dr  # force on i (to be SUBTRACTED by the caller)
+    f_i, energy = _excl_pair_terms(dr, qq_b, kappa, dtype)
+    # force on i (to be SUBTRACTED by the caller)
     fpair = jnp.stack([f_i, -f_i], axis=1).reshape(2 * n_bonds, 3)
     if 2 * n_bonds < n:
         fpair = jnp.concatenate(

@@ -162,11 +162,15 @@ def build_cell_list(position, box_L, cfg: CellListConfig,
     bucket_idx = jnp.full((cfg.total_cells * cfg.cap,), n, jnp.int32)
     flat = sorted_cell * cfg.cap + rank_c
     bucket_idx = bucket_idx.at[flat].set(order)
-    # inverse map: particle -> flat slot (dump slot C*cap when dropped by
-    # an overflowing bucket, so a force gather reads zeros, not a stranger)
+    # inverse map: particle -> flat slot; a particle owns a slot only if
+    # bucket_idx points back at it (under overflow, clamped ranks collide
+    # on slot cap-1 and the last writer wins — the displaced occupants
+    # must map to the dump slot so a force gather reads zeros rather than
+    # the winner's force)
     dump = jnp.asarray(cfg.total_cells * cfg.cap, jnp.int32)
+    owns = bucket_idx[flat] == order
     slot_of = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.where(rank < cfg.cap, flat, dump)
+        jnp.where(owns, flat, dump)
     )
     return CellList(
         bucket_idx=bucket_idx.reshape(cfg.total_cells, cfg.cap),

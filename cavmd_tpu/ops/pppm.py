@@ -452,10 +452,24 @@ def make_pppm_force_energy(order: int, mesh):
             return (f, e), (True, True)
         if not q_b:
             charge = jnp.broadcast_to(charge, (axis_size,) + charge.shape)
-        box0 = box_L[0] if box_b else box_L
+        if box_b:
+            # the batched kernel folds all replicas into shared-matrix DFT
+            # columns, which is only valid when every replica shares one
+            # box (the influence coefficients in `params` are box-specific
+            # anyway). Poison the result with NaN if the boxes differ —
+            # a silent wrong-box spread would corrupt forces invisibly,
+            # and data-dependent branching is not available under jit.
+            box0 = box_L[0]
+            mismatch = jnp.max(jnp.abs(box_L - box_L[0:1]))
+            poison = jnp.where(mismatch > 0, jnp.nan, 0.0).astype(
+                position.dtype
+            )
+        else:
+            box0 = box_L
+            poison = jnp.zeros((), position.dtype)
         f, e = pppm_force_and_energy_batched(
             position, charge, box0, params, order, mesh
         )
-        return (f, e), (True, True)
+        return (f + poison, e + poison), (True, True)
 
     return fe

@@ -22,16 +22,25 @@ import numpy as np
 
 
 def main():
-    n_mol = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_molecules", type=int, nargs="?", default=50_000)
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="write a jax.profiler trace of one chunk to DIR")
+    cli = ap.parse_args()
+    n_mol = cli.n_molecules
+
     from cavmd_tpu.core import PhysicalConstants as PC
     from cavmd_tpu.core import add_cavity_particle, make_diatomic_system
+    from cavmd_tpu.core.system import reference_box_for
     from cavmd_tpu.integrate import (
         ForceField, MethodSpec, init_state, make_step_fn, resolve_methods,
         run_steps,
     )
 
     # constant density relative to the 250-molecule reference scene
-    box_L = 46.0 * (n_mol / 250.0) ** (1.0 / 3.0)
+    box_L = reference_box_for(n_mol)
     snap = make_diatomic_system(n_mol, box_L=box_L, temperature_K=100.0,
                                 seed=0, dtype=np.float64)
     snap = add_cavity_particle(snap, coupling=1e-3, freq_cm1=2000.0,
@@ -109,12 +118,11 @@ def main():
         f"HBM-roofline share <2%, i.e. compute-bound)"
     )
 
-    if "--profile" in sys.argv:
-        d = sys.argv[sys.argv.index("--profile") + 1]
-        with jax.profiler.trace(d):
+    if cli.profile:
+        with jax.profiler.trace(cli.profile):
             state, _ = runner(state, chunk)
             jax.block_until_ready(state.position)
-        print(f"trace written to {d}")
+        print(f"trace written to {cli.profile}")
 
 
 if __name__ == "__main__":

@@ -94,6 +94,23 @@ def test_overflow_detection():
     clist = build_cell_list(pos, box, cfg, nct)
     assert bool(clist.overflow)
 
+    # slot ownership under overflow: each bucket slot is owned by exactly
+    # the particle bucket_idx points at; every displaced particle maps to
+    # the dump slot (a force gather must read zeros, not another
+    # particle's force row)
+    flat_idx = np.asarray(clist.bucket_idx).reshape(-1)
+    slot_of = np.asarray(clist.slot_of)
+    dump = clist.bucket_idx.size
+    n = pos.shape[0]
+    owners = 0
+    for p in range(n):
+        s = slot_of[p]
+        if s == dump:
+            continue
+        assert flat_idx[s] == p
+        owners += 1
+    assert owners == np.sum(flat_idx < n)  # every filled slot has an owner
+
 
 def test_cell_list_under_jit(setup):
     """Build + force must compose under jit (shape-static everywhere)."""
