@@ -65,6 +65,23 @@ class Snapshot:
     def replace(self, **kwargs) -> "Snapshot":
         return dataclasses.replace(self, **kwargs)
 
+    def strip_tail(self, n_real: int) -> "Snapshot":
+        """Keep the first ``n_real`` particles, dropping trailing
+        sharding-padding ghosts (appended after all real rows by
+        ``parallel.pad_snapshot_to``, so bond indices stay valid)."""
+        if n_real >= self.N:
+            return self
+        return self.replace(
+            position=self.position[:n_real],
+            image=self.image[:n_real],
+            velocity=self.velocity[:n_real],
+            mass=self.mass[:n_real],
+            charge=self.charge[:n_real],
+            diameter=self.diameter[:n_real],
+            typeid=self.typeid[:n_real],
+            types=tuple(t for t in self.types if t != "__ghost__"),
+        )
+
     def astype(self, dtype) -> "Snapshot":
         """Cast all floating-point fields to ``dtype`` (int fields untouched)."""
 

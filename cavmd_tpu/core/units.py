@@ -10,11 +10,11 @@ from __future__ import annotations
 
 
 class PhysicalConstants:
-    """Physical constants and unit conversions for cavity MD simulations.
+    """Conversion table between Hartree atomic units and laboratory units.
 
-    Values match reference ``src/cavitymd/utils.py:12-18`` exactly so that
-    parameter conversions (K -> kT, cm^-1 -> omega_c, ps -> a.u.) agree to
-    the last digit with the reference workflow.
+    The numeric values match reference ``src/cavitymd/utils.py:12-18`` to the
+    last digit (a parity contract: K -> kT, cm^-1 -> omega_c, and ps -> a.u.
+    conversions must reproduce the reference workflow's parameters exactly).
     """
 
     HARTREE_TO_CM_MINUS1 = 219474.63
@@ -54,9 +54,11 @@ class PhysicalConstants:
         """
         if tau_ps <= 0.0:
             raise ValueError(
-                f"tau_ps must be positive, got {tau_ps} ps. "
-                "For Langevin dynamics, gamma = 1/tau, so tau must be > 0. "
-                "For overdamped dynamics (tau -> 0), use Brownian dynamics instead."
+                f"Langevin time constant tau_ps={tau_ps} is not a positive "
+                "number; the damping rate is its reciprocal, which only exists "
+                "for tau > 0. A vanishing tau means the overdamped limit — "
+                "switch the method to Brownian dynamics rather than forcing "
+                "an infinite gamma here."
             )
         tau_au = cls.ps_to_atomic_units(tau_ps)
         return 1.0 / tau_au

@@ -480,16 +480,24 @@ def parse_replicas(replicas_str):
 
 
 def run_vmapped_replicas(args, replica_list):
-    """Batch all replicas into one vmapped program on one chip
-    (SURVEY.md §2.4 replica parallelism; BASELINE config
-    'Replica batch --replicas 1-8 vmapped on one chip').
+    """Batch all replicas into one vmapped program, optionally sharded over
+    a (replica x atoms) device mesh (SURVEY.md §2.4 replica parallelism;
+    BASELINE config 'Replica batch --replicas 1-8 vmapped on one chip').
 
     Runs the COMPLETE per-replica workflow of the sequential path
-    (reference 05_advanced_run.py:1353-1439): adaptive dt with per-replica
-    optimal-dt bootstrap, energy + cavity-mode trackers, F(k,t) and dipole
-    autocorrelation, periodic per-replica GSD frames — all from one
-    vmapped scanned program with per-replica PRNG streams.
+    (reference 05_advanced_run.py:1353-1439): per-replica initial frames
+    from ``--input-gsd`` (replica number doubles as the frame index,
+    reference 1571), adaptive dt with per-replica optimal-dt bootstrap,
+    energy + cavity-mode trackers, F(k,t) and dipole autocorrelation,
+    periodic per-replica GSD frames with embedded ``log/*`` chunks,
+    cell-overflow recovery, and per-replica runtime termination (a fast
+    replica's outputs stop at ``--runtime`` even while the batch advances
+    the slower ones). ``--shard-replicas R`` distributes the replica axis
+    over R devices (composable with ``--shard-atoms``) — the TPU-native
+    answer to the reference's SLURM-array scale-out (submit.sh:4).
     """
+    import dataclasses
+
     import jax
 
     setup_backend(args.device)
@@ -509,7 +517,9 @@ def run_vmapped_replicas(args, replica_list):
     from cavmd_tpu.integrate.adaptive import (
         compute_optimal_dt, make_adaptive_step,
     )
-    from cavmd_tpu.io import HOOMDTrajectory
+    from cavmd_tpu.integrate.integrator import run_steps
+    from cavmd_tpu.io import HOOMDTrajectory, open_gsd
+    from cavmd_tpu.io.gsd import gather_tracker_log
     from cavmd_tpu.observe import (
         CavityModeTracker,
         DipoleAutocorrelation,
@@ -519,7 +529,13 @@ def run_vmapped_replicas(args, replica_list):
         make_extra_obs,
     )
     from cavmd_tpu.parallel import (
-        init_replica_states, run_replica_steps, split_replica_obs,
+        init_replica_states,
+        make_mesh,
+        make_replica_step,
+        make_sharded_runner,
+        pad_snapshot_to,
+        shard_state,
+        split_replica_obs,
     )
     from cavmd_tpu.utils import fire_minimize
 
@@ -531,18 +547,41 @@ def run_vmapped_replicas(args, replica_list):
     os.chdir(exp_dir)
     try:
         dtype = np.float64 if precision == "f64" else np.float32
-        snap = make_diatomic_system(
-            args.n_molecules, box_L=resolved_box(args), seed=args.seed,
-            dtype=dtype,
-        )
-        ff0 = ForceField.create(snap, enable_cavity=False)
-        snap = fire_minimize(snap, ff0, n_steps=300)
-        if incavity:
-            snap = inject(
-                snap, coupling=args.coupling, freq_cm1=args.frequency,
-                temperature_K=args.temperature, finite_q=args.finite_q,
-                seed=args.seed + 1,
+        # per-replica initial frames: replica number doubles as the input
+        # frame index (reference 05_advanced_run.py:1571), clamped for
+        # short files — same convention as the sequential path
+        if os.path.exists(args.input_gsd):
+            with open_gsd(args.input_gsd) as t:
+                nf = len(t)
+                snaps = []
+                for r in replica_list:
+                    fr = r if 0 <= r < nf else nf - 1
+                    snaps.append(t.read_frame(fr, dtype=dtype))
+            print(f"Replica frames seeded from {args.input_gsd} "
+                  f"({nf} frames, N={snaps[0].N})")
+        else:
+            snap0 = make_diatomic_system(
+                args.n_molecules, box_L=resolved_box(args), seed=args.seed,
+                dtype=dtype,
             )
+            ff0 = ForceField.create(snap0, enable_cavity=False)
+            snap0 = fire_minimize(snap0, ff0, n_steps=300)
+            snaps = [snap0] * len(replica_list)
+        if incavity:
+            snaps = [
+                inject(
+                    s, coupling=args.coupling, freq_cm1=args.frequency,
+                    temperature_K=args.temperature, finite_q=args.finite_q,
+                    seed=args.seed + r + 1,
+                ) if "L" not in s.types else s
+                for r, s in zip(replica_list, snaps)
+            ]
+        # --pad-atoms pads WITHOUT sharding: the single-device comparator
+        # for sharded runs (RNG draws are N-shaped)
+        pad_mult = max(args.shard_atoms, args.pad_atoms)
+        if pad_mult > 1:
+            snaps = [pad_snapshot_to(s, pad_mult)[0] for s in snaps]
+        snap = snaps[0]
         ff = ForceField.create(
             snap, coupling=args.coupling, freq_cm1=args.frequency,
             enable_cavity=incavity,
@@ -560,26 +599,62 @@ def run_vmapped_replicas(args, replica_list):
         if args.enable_fkt:
             wv = generate_fibonacci_sphere(args.fkt_wavevectors) * args.fkt_kmag
             extra = make_extra_obs(dipole=True, wavevectors=wv)
-        step = make_step_fn(ff, methods, extra_obs=extra)
 
         # adaptive dt inside the vmapped scan (each replica carries its own
         # dt/tolerance ramp), parity with the sequential path
         error_tolerance = 0.0 if args.fixed_timestep else 1.0
         dt_ps_nominal = 0.0001 if error_tolerance > 0 else args.timestep / 1000.0
         chunk = 500
-        if error_tolerance > 0:
-            adaptive_period = max(1, int(
-                args.energy_output_period_ps / dt_ps_nominal
-            ))
-            step = make_adaptive_step(
-                step, error_tolerance=error_tolerance,
-                period=min(adaptive_period, chunk),
-            )
+
+        def build_step(ff_):
+            s = make_step_fn(ff_, methods, extra_obs=extra)
+            if error_tolerance > 0:
+                adaptive_period = max(1, int(
+                    args.energy_output_period_ps / dt_ps_nominal
+                ))
+                s = make_adaptive_step(
+                    s, error_tolerance=error_tolerance,
+                    period=min(adaptive_period, chunk),
+                )
+            return s
 
         n_rep = len(replica_list)
+        # replica-axis (x atoms-axis) device mesh: the reference's only
+        # scale-out is SLURM replicas across nodes (submit.sh:4); here the
+        # replica batch axis shards over devices with zero cross-replica
+        # communication (and atoms-axis psums within each replica shard)
+        mesh = None
+        if args.shard_replicas > 1 or args.shard_atoms > 1:
+            n_r = max(args.shard_replicas, 1)
+            n_a = max(args.shard_atoms, 1)
+            devs = jax.devices()
+            if n_r * n_a > len(devs):
+                raise ValueError(
+                    f"mesh {n_r}x{n_a} needs {n_r * n_a} devices, "
+                    f"have {len(devs)}"
+                )
+            if n_rep % n_r != 0:
+                raise ValueError(
+                    f"{n_rep} replicas not divisible by "
+                    f"--shard-replicas {n_r}"
+                )
+            mesh = make_mesh(n_replica=n_r, n_atoms_shards=n_a,
+                             devices=devs[: n_r * n_a])
+            print(f"Sharded replica production: mesh {n_r}x{n_a} "
+                  f"(replica x atoms)")
+
+        def build_runner(step_, template):
+            vstep = make_replica_step(step_)
+            if mesh is None:
+                return jax.jit(
+                    lambda s, n: run_steps(vstep, s, n), static_argnums=(1,)
+                )
+            return make_sharded_runner(vstep, mesh, template, batched=True)
+
+        step = build_step(ff)
         dt = PC.fs_to_atomic_units(args.timestep if args.fixed_timestep else 0.1)
         batched = init_replica_states(
-            snap, ff, n_replicas=n_rep, dt=dt, seed=args.seed, kT=kT,
+            snaps, ff, dt=dt, seed=args.seed, kT=kT,
             error_tolerance=error_tolerance,
         )
         if error_tolerance > 0:
@@ -592,7 +667,10 @@ def run_vmapped_replicas(args, replica_list):
             batched = batched.replace(dt=dts.astype(batched.dt.dtype))
 
         tid = np.asarray(snap.typeid)
-        n_dof = 3 * int(np.sum(tid != ff.l_typeid))
+        real_mol = tid != ff.l_typeid
+        if ff.ghost_typeid >= 0:
+            real_mol &= tid != ff.ghost_typeid
+        n_dof = 3 * int(np.sum(real_mol))
         energy_period = max(1, int(args.energy_output_period_ps / dt_ps_nominal))
         fkt_period = max(1, int(args.fkt_output_period_ps / dt_ps_nominal))
         trackers = []  # list of per-replica tracker lists
@@ -619,33 +697,56 @@ def run_vmapped_replicas(args, replica_list):
                 ))
             trackers.append(per_rep)
 
-        # per-replica periodic trajectory writers (not just final frames)
+        # per-replica periodic trajectory writers (not just final frames),
+        # embedding log/* chunks per frame — parity with the sequential
+        # GSDWriter and the reference logger (05_advanced_run.py:1231-1249)
         gsd_files = [HOOMDTrajectory(f"prod-{r}.gsd", "w")
                      for r in replica_list]
         last_gsd_ps = np.full(n_rep, -1e30)
+        # replicas that crossed --runtime: their final frame is written at
+        # the crossing chunk boundary (chunks are trimmed to the earliest
+        # crossing, so the overshoot is <= 1 step) and their trackers and
+        # writers go quiet while the batch advances the slower clocks —
+        # matching the sequential path's exact-runtime termination
+        finished = np.zeros(n_rep, dtype=bool)
+        n_real = int(np.sum(tid != ff.ghost_typeid)) if ff.ghost_typeid >= 0 \
+            else snap.N
 
-        def write_frames(batched_state, force=False):
+        def write_frames(batched_state):
             pos = np.asarray(batched_state.position)
             img = np.asarray(batched_state.image)
             vel = np.asarray(batched_state.velocity)
             ts = np.asarray(batched_state.timestep)
+            dts = np.asarray(batched_state.dt)
             el = np.asarray(batched_state.time_au) * PC.TIME_PS_CONVERSION
             for k in range(n_rep):
-                if (force and el[k] > last_gsd_ps[k]) or (
+                if finished[k]:
+                    continue
+                crossing = el[k] >= args.runtime and ts[k] > 0
+                if crossing or (
                     el[k] - last_gsd_ps[k] >= args.gsd_output_period_ps
                 ):
+                    # sharding-padding ghost rows are appended after all
+                    # real rows (pad_snapshot_to) — strip them from frames
+                    frame_snap = snaps[k] if ff.ghost_typeid < 0 else (
+                        snaps[k].strip_tail(n_real))
                     gsd_files[k].append(
-                        snap.replace(position=pos[k], image=img[k],
-                                     velocity=vel[k]),
+                        frame_snap.replace(
+                            position=pos[k][:n_real], image=img[k][:n_real],
+                            velocity=vel[k][:n_real]),
                         step=int(ts[k]),
+                        log_data=gather_tracker_log(
+                            trackers[k], el[k], dts[k]),
                     )
                     last_gsd_ps[k] = el[k]
+                if crossing:
+                    finished[k] = True
 
-        write_frames(batched, force=True)  # initial frames
+        write_frames(batched)  # initial frames
 
-        runner = jax.jit(
-            lambda s, n: run_replica_steps(step, s, n), static_argnums=(1,)
-        )
+        runner = build_runner(step, batched)
+        if mesh is not None:
+            batched = shard_state(batched, mesh, batched=True)
         t0 = time.time()
         while True:
             elapsed = np.asarray(batched.time_au) * PC.TIME_PS_CONVERSION
@@ -668,9 +769,54 @@ def run_vmapped_replicas(args, replica_list):
             )
             est_gsd = int(np.ceil((till_gsd / safe_dt).min()))
             n_next = min(chunk, max(1, est), max(1, est_gsd))
-            batched, obs = runner(batched, n_next)
-            per = split_replica_obs(obs, n_rep)
-            for per_rep, o in zip(trackers, per):
+            pre_chunk = batched
+            retries = 0
+            while True:
+                batched, obs = runner(pre_chunk, n_next)
+                obs_np = {k: np.asarray(v) for k, v in obs.items()}
+                if not ("cell_overflow" in obs_np
+                        and obs_np["cell_overflow"].any()):
+                    break
+                # overflow recovery (parity with Simulation.run): this
+                # chunk dropped pairs in some replica — re-plan with a
+                # doubled bucket capacity, rebuild the runner, refresh the
+                # carried cell lists, and retry from the chunk's start
+                retries += 1
+                if retries > 4:
+                    raise RuntimeError(
+                        "cell-list bucket overflow persists after 4 "
+                        "capacity doublings"
+                    )
+                ncells, cap, r_cut, skin = ff.cell_cfg
+                ff = dataclasses.replace(
+                    ff, cell_cfg=(ncells, max(cap + 4, cap * 2), r_cut, skin)
+                )
+                logging.getLogger(__name__).warning(
+                    "cell-list overflow in replica batch: re-planned with "
+                    "cap=%d, retrying chunk", ff.cell_cfg[1],
+                )
+                step = build_step(ff)
+                if pre_chunk.cell_list is not None:
+                    clists = jax.jit(jax.vmap(ff.build_cells))(
+                        pre_chunk.position, pre_chunk.box_L
+                    )
+                    pre_chunk = pre_chunk.replace(
+                        cell_list=clists, cell_anchor=pre_chunk.position,
+                    )
+                if mesh is not None:
+                    pre_chunk = shard_state(pre_chunk, mesh, batched=True)
+                runner = build_runner(step, pre_chunk)
+            per = split_replica_obs(obs_np, n_rep)
+            for k, (per_rep, o) in enumerate(zip(trackers, per)):
+                if finished[k]:
+                    continue
+                # drop rows past this replica's runtime crossing (keep the
+                # crossing row itself, like the sequential path's final
+                # trimmed chunk)
+                tp = o["time_au"] * PC.TIME_PS_CONVERSION
+                n_keep = min(len(tp), int(np.searchsorted(tp, args.runtime)) + 1)
+                if n_keep < len(tp):
+                    o = {kk: vv[:n_keep] for kk, vv in o.items()}
                 for tr in per_rep:
                     tr.consume(o)
             write_frames(batched)
@@ -679,7 +825,7 @@ def run_vmapped_replicas(args, replica_list):
         print(f"vmapped {n_rep} replicas x {steps} steps in {wall:.1f}s "
               f"({n_rep * steps / max(wall, 1e-9):.0f} aggregate steps/s)")
 
-        write_frames(batched, force=True)  # final frames
+        write_frames(batched)  # final frames for any replica not yet closed
         for f in gsd_files:
             f.close()
         return True
@@ -816,6 +962,12 @@ def build_parser():
                         help="advance all replicas as one vmapped batch "
                              "on one chip (generated scene; per-replica "
                              "energy trackers + final GSD frames)")
+    parser.add_argument("--shard-replicas", type=int, default=0,
+                        help="shard the vmapped replica batch over this "
+                             "many devices (replica x atoms mesh; implies "
+                             "--vmap-replicas; composable with "
+                             "--shard-atoms) — the TPU answer to the "
+                             "reference's SLURM array scale-out")
     parser.add_argument("--shard-atoms", type=int, default=0,
                         help="shard particle arrays over this many devices "
                              "(1 x K mesh; N is ghost-padded to a multiple "
@@ -855,7 +1007,7 @@ def main(argv=None):
 
     start = time.time()
     ok = fail = 0
-    if args.vmap_replicas:
+    if args.vmap_replicas or args.shard_replicas > 1:
         success = run_vmapped_replicas(args, replica_list)
         print(f"\nvmapped batch: {'SUCCESS' if success else 'FAILED'}")
         print(f"Wall time: {time.time() - start:.2f} seconds")

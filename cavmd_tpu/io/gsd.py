@@ -404,6 +404,27 @@ def open_gsd(path, mode="r"):
     return HOOMDTrajectory(path, mode)
 
 
+def gather_tracker_log(trackers, time_ps, dt_au):
+    """Collect the ``log/*`` payload for one GSD frame from a tracker list.
+
+    Parity with the ~30-quantity Logger the reference attaches to its GSD
+    writer (05_advanced_run.py:1239-1249): every tracker's ``current`` dict
+    plus autocorrelation values, keyed ``<TrackerClass>/<quantity>``. Shared
+    by the sequential ``GSDWriter`` and the vmapped-replica driver path.
+    """
+    log = {"md/time_ps": float(time_ps), "md/dt_au": float(dt_au)}
+    for tr in trackers:
+        prefix = type(tr).__name__
+        cur = getattr(tr, "current", None)
+        if isinstance(cur, dict):
+            for k, v in cur.items():
+                log[f"{prefix}/{k}"] = v
+        ca = getattr(tr, "current_autocorr", None)
+        if ca is not None:
+            log[f"{prefix}/autocorr"] = ca
+    return log
+
+
 class GSDWriter:
     """Periodic trajectory writer (parity: ``hoomd.write.GSD`` attached to
     the reference workflow, 05_advanced_run.py:1231-1249). Writes a frame
@@ -425,20 +446,9 @@ class GSDWriter:
         self.log_trackers = log_trackers
 
     def _gather_log(self, sim):
-        log = {
-            "md/time_ps": sim.elapsed_ps,
-            "md/dt_au": float(sim.state.dt),
-        }
-        for tr in getattr(sim, "trackers", ()):
-            prefix = type(tr).__name__
-            cur = getattr(tr, "current", None)
-            if isinstance(cur, dict):
-                for k, v in cur.items():
-                    log[f"{prefix}/{k}"] = v
-            ca = getattr(tr, "current_autocorr", None)
-            if ca is not None:
-                log[f"{prefix}/autocorr"] = ca
-        return log
+        return gather_tracker_log(
+            getattr(sim, "trackers", ()), sim.elapsed_ps, float(sim.state.dt)
+        )
 
     def write_now(self, sim):
         log = self._gather_log(sim) if self.log_trackers else None

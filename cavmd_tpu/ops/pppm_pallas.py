@@ -36,6 +36,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
+# Opt-in switch, bound ONCE at import: callers cache the force function
+# (lru_cache + jit), so a late env-var flip could never take effect anyway.
+# Binding here makes that explicit instead of trace-time-dependent.
+_PALLAS_SPREAD_ENABLED = os.environ.get("CAVMD_PPPM_PALLAS", "0") == "1"
+
 # Mosaic dots support only DEFAULT and HIGHEST (HIGH raises
 # NotImplementedError); DEFAULT would bf16-round the position-derived
 # weights (the heating-bug regime, ops/bonds.py), so HIGHEST it is — the
@@ -255,10 +262,12 @@ def pallas_spread_ok(mesh, n=None, backend=None) -> bool:
     HIGHEST (bf16x6, 2x the XLA path's HIGH). Kept as a correct,
     tested foundation — profitable once columns are batched 4-wide into
     full lanes — not as the default.
-    """
-    import os
 
-    if os.environ.get("CAVMD_PPPM_PALLAS", "0") != "1":
+    The env flag is read once at module import (_PALLAS_SPREAD_ENABLED):
+    the result feeds functions cached by lru_cache and jit, so it must be
+    process-constant — set CAVMD_PPPM_PALLAS before importing cavmd_tpu.
+    """
+    if not _PALLAS_SPREAD_ENABLED:
         return False
     Ky, Kz = mesh[1], mesh[2]
     if (Ky * Kz) % 128 != 0:

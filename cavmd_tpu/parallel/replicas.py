@@ -52,13 +52,20 @@ def init_replica_states(
     states = []
     for r, snap in enumerate(snaps):
         if kT is not None:
-            mol_mask = snap.typeid != ff.l_typeid
+            # ghost-padded rows (sharding) join NO group: their 1e30 pinning
+            # mass would dominate the drift-removal momentum sum
+            from cavmd_tpu.integrate.integrator import group_mask
+
+            mol_mask = group_mask(
+                snap.typeid, ff.l_typeid, "molecular", ff.ghost_typeid
+            )
             key = stream_key(master_key(seed + r), STREAM_THERMALIZE, 0)
             v = thermalize_velocities(key, snap.mass, mol_mask, kT)
             if ff.l_typeid >= 0:
                 k2 = stream_key(master_key(seed + r), STREAM_THERMALIZE, 1)
+                cav_mask = snap.typeid == ff.l_typeid
                 v = v + thermalize_velocities(
-                    k2, snap.mass, ~mol_mask, kT, remove_drift=False
+                    k2, snap.mass, cav_mask, kT, remove_drift=False
                 )
             snap = snap.replace(velocity=v)
         states.append(

@@ -278,15 +278,5 @@ class Simulation:
         )
         gid = self.ff.ghost_typeid
         if strip_ghosts and gid >= 0:
-            n_real = int(np.sum(np.asarray(snap.typeid) != gid))
-            snap = snap.replace(
-                position=snap.position[:n_real],
-                image=snap.image[:n_real],
-                velocity=snap.velocity[:n_real],
-                mass=snap.mass[:n_real],
-                charge=snap.charge[:n_real],
-                diameter=snap.diameter[:n_real],
-                typeid=snap.typeid[:n_real],
-                types=tuple(t for t in snap.types if t != "__ghost__"),
-            )
+            snap = snap.strip_tail(int(np.sum(np.asarray(snap.typeid) != gid)))
         return snap

@@ -182,6 +182,127 @@ def test_vmap_replicas(tmp_path, monkeypatch):
     assert not np.allclose(p1, p2)
 
 
+def _make_multiframe_input(path, n_frames=3, n_molecules=6, seed=3):
+    """Write an n-frame input GSD with distinct per-frame positions
+    (the reference's replica-number-doubles-as-frame convention,
+    05_advanced_run.py:1571, needs real multi-frame inputs)."""
+    from cavmd_tpu.core.system import make_diatomic_system
+    from cavmd_tpu.integrate import ForceField
+    from cavmd_tpu.io import HOOMDTrajectory
+    from cavmd_tpu.utils import fire_minimize
+
+    snap = make_diatomic_system(n_molecules, box_L=14.0, seed=seed)
+    ff0 = ForceField.create(snap, enable_cavity=False)
+    snap = fire_minimize(snap, ff0, n_steps=200)
+    rng = np.random.default_rng(seed)
+    pos0 = np.asarray(snap.position)
+    frames = []
+    with HOOMDTrajectory(path, "w") as t:
+        for f in range(n_frames):
+            p = pos0 + 1e-3 * rng.standard_normal(pos0.shape)
+            frames.append(p)
+            t.append(snap.replace(position=p), step=f, dtype=np.float64)
+    return frames
+
+
+@pytest.mark.slow
+def test_shard_replicas_matches_vmap(tmp_path, monkeypatch):
+    """--shard-replicas 2 x --shard-atoms 4 over the virtual 8-CPU mesh
+    reproduces the vmap-only run (padded comparator), from a multi-frame
+    input GSD, with log/* chunks embedded in every frame (VERDICT r2
+    item 4)."""
+    frames = _make_multiframe_input(str(tmp_path / "multi.gsd"))
+    common = [
+        "--vmap-replicas", "--replicas", "0-1", "--runtime", "0.008",
+        "--device", "CPU", "--input-gsd", "../../multi.gsd",
+        "--energy-output-period-ps", "0.001",
+        "--gsd-output-period-ps", "0.004",
+    ]
+    vdir = tmp_path / "vmap_only"
+    sdir = tmp_path / "sharded"
+    vdir.mkdir()
+    sdir.mkdir()
+    monkeypatch.chdir(vdir)
+    assert main(common + ["--pad-atoms", "4"]) == 0
+    monkeypatch.chdir(sdir)
+    assert main(common + ["--shard-replicas", "2", "--shard-atoms", "4"]) == 0
+
+    from cavmd_tpu.io import open_gsd
+
+    out_v = vdir / "cavity_coupling_1eneg03"
+    out_s = sdir / "cavity_coupling_1eneg03"
+
+    def rows(path):
+        return np.array([
+            l.split() for l in open(path)
+            if not l.startswith("#") and not l.startswith("time")
+        ], float)
+
+    for r in (0, 1):
+        ev, es = (rows(d / f"prod-{r}_energy_tracker.txt")
+                  for d in (out_v, out_s))
+        np.testing.assert_allclose(es, ev, rtol=1e-8, atol=1e-10)
+        # per-replica runtime termination: no tracker rows meaningfully
+        # beyond --runtime even though the batch advances until the
+        # slowest replica finishes
+        assert ev[:, 0].max() <= 0.008 * 1.5
+        assert es[:, 0].max() <= 0.008 * 1.5
+        with open_gsd(str(out_v / f"prod-{r}.gsd")) as tv, \
+             open_gsd(str(out_s / f"prod-{r}.gsd")) as ts:
+            assert len(tv) == len(ts)
+            # per-replica frame seeding: frame 0 of replica r is input
+            # frame r (molecular rows; the photon is appended; ghost
+            # padding stripped; GSD frames are f32)
+            np.testing.assert_allclose(
+                np.asarray(tv[0].position)[: len(frames[r])], frames[r],
+                atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(ts[-1].position), np.asarray(tv[-1].position),
+                rtol=1e-7, atol=1e-9)
+            # ghost rows stripped: 12 atoms + photon
+            assert ts[0].N == 13
+            # log/* chunks embedded in every frame of the vmapped path
+            for fr in range(len(ts)):
+                t_ps = ts.read_log(fr, "md/time_ps")
+                assert t_ps is not None
+            log_names = [n for n in ts.file._names if n.startswith("log/")]
+            assert any("EnergyTracker" in n for n in log_names)
+
+
+@pytest.mark.slow
+def test_vmap_replicas_cell_overflow_recovery(tmp_path, monkeypatch):
+    """The vmapped-replica chunk loop must recover from cell-list bucket
+    overflow like Simulation.run does: re-plan capacity, retry the chunk
+    (VERDICT r2 item 4 / weak 5)."""
+    from cavmd_tpu.integrate import ForceField
+
+    real_create = ForceField.create
+
+    def crippled_create(snapshot, **kw):
+        if kw.get("enable_cavity", True):
+            # force cell mode with a cap guaranteed to overflow
+            kw.setdefault("pair_mode", "cell")
+            kw.setdefault("cell_cap", 2)
+            kw.setdefault("r_cut", 7.0)
+        return real_create(snapshot, **kw)
+
+    monkeypatch.setattr(ForceField, "create", staticmethod(crippled_create))
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "--vmap-replicas", "--replicas", "1-2", "--runtime", "0.004",
+        "--device", "CPU", "--n-molecules", "24",
+        "--energy-output-period-ps", "0.001",
+        "--gsd-output-period-ps", "0.002",
+    ])
+    assert rc == 0
+    out = tmp_path / "cavity_coupling_1eneg03"
+    from cavmd_tpu.io import open_gsd
+
+    for r in (1, 2):
+        with open_gsd(str(out / f"prod-{r}.gsd")) as t:
+            assert np.isfinite(np.asarray(t[-1].position)).all()
+
+
 def test_resolved_box_constant_density():
     """--box-L default scales the reference box at constant density;
     an explicit value wins (the reference scene is 250 molecules in

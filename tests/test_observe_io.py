@@ -358,3 +358,76 @@ def test_gsd_indexed_reader_random_access(tmp_path):
     assert r.read_chunk(34, "even_only")[0] == 34 * 7
     assert r.chunk_exists(34, "even_only") and not r.chunk_exists(33, "even_only")
     r.close()
+
+
+def test_gsd_foreign_file_golden():
+    """The codec must read a file it did NOT write (VERDICT r2 item 5):
+    ``tests/data/golden_foreign.gsd`` is raw-struct-authored (see
+    make_golden_foreign.py) with a foreign layout — metadata regions in
+    mid-file, oversized zero-filled capacity, shuffled name-id
+    assignment, non-monotonic data locations — standing in for an
+    official-``gsd``-library file (package absent in this image)."""
+    import os
+
+    from cavmd_tpu.io.gsd import GSDFile, HOOMDTrajectory
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "golden_foreign.gsd")
+
+    with GSDFile(path, "r") as f:
+        assert f.nframes == 2
+        assert f.application == "gsd.hoomd 2.9.0"
+        assert f.schema == "hoomd"
+        assert f.read_chunk(0, "configuration/step")[0] == 7
+        assert f.read_chunk(1, "configuration/step")[0] == 107
+        # frame-1-only chunk, absent in frame 0
+        np.testing.assert_array_equal(
+            f.read_chunk(1, "log/extra").ravel(), [2.5, 3.5])
+        assert f.read_chunk(0, "log/extra") is None
+
+    t = HOOMDTrajectory(path, "r")
+    s0 = t.read_frame(0)
+    s1 = t.read_frame(1)
+    assert s0.N == 5 and s1.N == 5
+    assert s0.types == ("O", "N", "L")
+    assert s0.bond_types == ("OO", "NN")
+    np.testing.assert_array_equal(np.asarray(s0.typeid), [0, 0, 1, 1, 2])
+    np.testing.assert_allclose(np.asarray(s0.box_L), [9.5, 9.5, 9.5])
+    np.testing.assert_allclose(
+        np.asarray(s0.position)[1], [1.2, 0.0, 0.0], atol=1e-6)
+    # frame 1 positions shifted by +0.25 (independent data block placed
+    # physically after the mid-file metadata regions)
+    np.testing.assert_allclose(
+        np.asarray(s1.position) - np.asarray(s0.position), 0.25, atol=1e-6)
+    # frame-0 default inheritance: mass/charge/types only in frame 0
+    np.testing.assert_allclose(
+        np.asarray(s1.mass), [29156.9, 29156.9, 25532.7, 25532.7, 1.0],
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1.charge), [0.2, -0.2, 0.1, -0.1, 0.0], atol=1e-6)
+    assert s1.types == ("O", "N", "L")
+    # frame-1 dynamic chunks override
+    np.testing.assert_allclose(np.asarray(s1.velocity), 0.125, atol=1e-7)
+    np.testing.assert_array_equal(
+        np.asarray(s1.image)[0], [1, 0, 0])
+    np.testing.assert_array_equal(
+        np.asarray(s0.bond_group), [[0, 1], [2, 3]])
+    np.testing.assert_array_equal(np.asarray(s0.bond_typeid), [0, 1])
+    t.close()
+
+    # the generator is deterministic: regenerating must reproduce the
+    # committed bytes exactly (guards accidental drift of the golden file)
+    import importlib.util as ilu
+    import tempfile
+
+    spec = ilu.spec_from_file_location(
+        "make_golden_foreign",
+        os.path.join(os.path.dirname(__file__), "data",
+                     "make_golden_foreign.py"),
+    )
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with tempfile.TemporaryDirectory() as td:
+        regen = os.path.join(td, "regen.gsd")
+        mod.main(regen)
+        assert open(regen, "rb").read() == open(path, "rb").read()
