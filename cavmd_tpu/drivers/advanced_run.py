@@ -63,6 +63,7 @@ class CavityMDSimulation:
         gsd_output_period_ps=50.0, console_output_period_ps=1.0,
         truncate_gsd=False, seed=None, n_molecules=250, box_L=46.0,
         chunk_size=500, precision="f64", shard_atoms=0, pad_atoms=0,
+        pppm_resolution=32,
     ):
         self.job_dir = job_dir
         self.replica = replica
@@ -104,6 +105,7 @@ class CavityMDSimulation:
         self.precision = precision
         self.shard_atoms = shard_atoms
         self.pad_atoms = pad_atoms
+        self.pppm_resolution = pppm_resolution
         self.logger = None
         self.sim = None
 
@@ -271,6 +273,7 @@ class CavityMDSimulation:
         self.ff = ForceField.create(
             self.snapshot, coupling=self.couplstr, freq_cm1=self.freq,
             enable_cavity=self.incavity,
+            pppm_mesh=(self.pppm_resolution,) * 3,
         )
 
         kT = PC.kT_from_kelvin(self.temperature)
@@ -585,6 +588,7 @@ def run_vmapped_replicas(args, replica_list):
         ff = ForceField.create(
             snap, coupling=args.coupling, freq_cm1=args.frequency,
             enable_cavity=incavity,
+            pppm_mesh=(args.pppm_resolution,) * 3,
         )
         kT = PC.kT_from_kelvin(args.temperature)
         methods = [_method_spec(args.molecular_bath, "molecular", kT,
@@ -917,6 +921,7 @@ def run_single_experiment(args, replica, frame):
         precision=args.precision,
         shard_atoms=args.shard_atoms,
         pad_atoms=args.pad_atoms,
+        pppm_resolution=args.pppm_resolution,
     )
     return sim.run() == 0
 
@@ -984,6 +989,12 @@ def build_parser():
                         help="cubic box edge (bohr) for the generated "
                              "system; default scales the reference box "
                              "(46.0 at 250 molecules) at constant density")
+    parser.add_argument("--pppm-resolution", type=int, default=32,
+                        help="PPPM mesh points per axis (reference default "
+                             "32; the mesh should grow ~N^(1/3) for "
+                             "constant spacing — 64 at ~100k particles; "
+                             "large meshes auto-select the VMEM-resident "
+                             "Pallas spread)")
     parser.add_argument("--precision", type=str, default="auto",
                         choices=["auto", "f32", "f64"],
                         help="auto = f64 on CPU (fidelity), f32 on TPU/GPU")

@@ -73,16 +73,23 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _erfc_pos(x):
-    """erfc(x) for x >= 0 — Abramowitz & Stegun 7.1.26 rational approx
-    (abs error < 1.5e-7; Mosaic has no erfc primitive)."""
+def _erfc_pos_parts(x):
+    """(erfc(x), exp(-x^2)) for x >= 0 — Abramowitz & Stegun 7.1.26
+    rational approx (abs error < 1.5e-7; Mosaic has no erfc primitive).
+    The Gaussian factor is returned so callers computing the Ewald force
+    (which needs exp(-x^2) again) evaluate the transcendental ONCE."""
     t = 1.0 / (1.0 + 0.3275911 * x)
     poly = t * (
         0.254829592
         + t * (-0.284496736 + t * (1.421413741
                                    + t * (-1.453152027 + t * 1.061405429)))
     )
-    return poly * jnp.exp(-x * x)
+    g = jnp.exp(-x * x)
+    return poly * g, g
+
+
+def _erfc_pos(x):
+    return _erfc_pos_parts(x)[0]
 
 
 def _pair_kernel(
@@ -321,12 +328,18 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _fused_tile(pi, jrow, scal_ref, pack: "CellPallasPack", rc2):
+def _fused_tile(pi, jrow, scal_ref, pack: "CellPallasPack", rc2, wrap=True):
     """One (cap_i x L_j) fused LJ + Ewald-short tile, all in registers/VMEM.
 
     ``pi``: (cap, R) i-side rows (already read). ``jrow(row)``: (1, L)
     j-side feature row for feature index ``row``. Returns the five per-i
     reductions ((cap,1) each): fx, fy, fz, e_lj, e_ew.
+
+    ``wrap=False`` skips the per-pair minimum-image rounding: the caller
+    guarantees i/j coordinates are already in mutually-nearest images
+    (cell-local positions + pre-shifted neighbor copies, see
+    :func:`fused_cell_cols_pallas`) — 9 VPU ops/pair saved across the
+    whole padded tile.
     """
     ta = pack.n_types_active
     kappa = scal_ref[0, 0]
@@ -343,8 +356,9 @@ def _fused_tile(pi, jrow, scal_ref, pack: "CellPallasPack", rc2):
     dxs = []
     for d in range(3):
         dx = icol(d) - jrow(d)
-        L = scal_ref[0, 1 + d]
-        dx = dx - L * jnp.round(dx * (1.0 / L))
+        if wrap:
+            L = scal_ref[0, 1 + d]
+            dx = dx - L * jnp.round(dx * (1.0 / L))
         dxs.append(dx)
         r2 = dx * dx if r2 is None else r2 + dx * dx
 
@@ -393,11 +407,11 @@ def _fused_tile(pi, jrow, scal_ref, pack: "CellPallasPack", rc2):
 
     qq = icol(3) * jrow(3)
     x = kappa * rr
-    ec = _erfc_pos(x)
+    ec, gauss = _erfc_pos_parts(x)  # one exp serves erfc AND the force
     e_ew = valid * (qq * ec * inv_r)
     f_ew = valid * (
         qq * (ec * inv_r2 + kappa * two_over_sqrt_pi
-              * jnp.exp(-x * x) * inv_r) * inv_r
+              * gauss * inv_r) * inv_r
     )
 
     f = f_lj + f_ew
@@ -435,19 +449,62 @@ def _cell_kernel(pi_ref, pj_ref, scal_ref, out_ref, *, pack: "CellPallasPack",
 
 def _xy_neighbor_table(cx, cy) -> np.ndarray:
     """(cx*cy, 9) wrapped xy-neighbor column ids (host-side, trace-time)."""
+    return _xy_neighbor_table_shifts(cx, cy)[0]
+
+
+def _xy_neighbor_table_shifts(cx, cy):
+    """Neighbor column ids PLUS their box-wrap counts.
+
+    Returns ``(table (XY, 9) int32, wraps (XY, 9, 2) int32)``: fetching
+    neighbor column ``table[c, k]`` for column ``c`` crosses the periodic
+    x/y boundary ``wraps[c, k, :]`` times — the fetched copy's coordinates
+    must be shifted by ``wraps * box_L`` to sit in column ``c``'s image
+    (the pre-wrapped layout that lets the kernel skip per-pair min-image).
+    """
     ids = np.arange(cx * cy)
     x, y = ids // cy, ids % cy
     out = np.empty((cx * cy, 9), np.int32)
+    wraps = np.empty((cx * cy, 9, 2), np.int32)
     k = 0
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             out[:, k] = ((x + dx) % cx) * cy + (y + dy) % cy
+            wraps[:, k, 0] = np.floor_divide(x + dx, cx)
+            wraps[:, k, 1] = np.floor_divide(y + dy, cy)
             k += 1
-    return out
+    return out, wraps
 
 
-def _cell_cols_kernel(pi_ref, pj_ref, scal_ref, out_ref, jbuf_ref, *,
-                      pack: "CellPallasPack", rc2, cz, cap, lanes_pad):
+def cell_local_positions(position, box_L, clist, cfg):
+    """The image of each particle nearest its bucket cell's center.
+
+    Between rebuilds a particle can drift across the box boundary and
+    re-wrap (position jumps by L while its bucket stays) — per-pair
+    min-image absorbs that in the tile. The pre-wrapped layout instead
+    normalizes ONCE per particle per step (3 rounds on N rows, vs 3 rounds
+    on every padded pair slot): after this, every particle's coordinate is
+    within skin/2 of its cell's primary-image bounds, so neighbor-copy
+    shifts by whole box lengths make all in-neighborhood displacements
+    exact without rounding.
+    """
+    dtype = position.dtype
+    C, cap = clist.bucket_idx.shape
+    cx, cy, cz = cfg.ncells
+    cell = jnp.minimum(clist.slot_of // cap, C - 1)  # dump slot -> clamp
+    z = cell % cz
+    y = (cell // cz) % cy
+    x = cell // (cy * cz)
+    box = jnp.asarray(box_L, dtype)
+    ncells = jnp.asarray([cx, cy, cz], dtype)
+    frac = (jnp.stack([x, y, z], axis=-1).astype(dtype) + 0.5) / ncells
+    center = (frac - 0.5) * box
+    off = position - center
+    return center + off - box * jnp.round(off / box)
+
+
+def _cell_cols_kernel(pi_ref, pj_ref, occ_ref, scal_ref, out_ref, jbuf_ref,
+                      *, pack: "CellPallasPack", rc2, cz, cap, lanes_pad,
+                      s1):
     """One xy column of cells per grid step (z-resident j-tiles).
 
     ``pi_ref``: (1, cz, cap, R) i-side rows for the column's cells.
@@ -458,6 +515,16 @@ def _cell_cols_kernel(pi_ref, pj_ref, scal_ref, out_ref, jbuf_ref, *,
     assembled into ``jbuf_ref`` (R, 27cap_pad) — static lane-slice copies,
     register shuffles only — and the tile body is shared with the
     gather-based kernel (:func:`_fused_tile`).
+
+    Occupancy-predicated i-rows (the two-tier cap-padding fix): bucket
+    capacity is sized for the max-occupancy cell (+drift margin), but the
+    MEAN occupancy is ~half that — uniform cap wastes >40% of the tile
+    compute on empty i-slots (measured; VERDICT r2). Tier 1 computes
+    slots [0:s1] for every cell; tier 2 computes slots [s1:cap] only when
+    ``occ_ref`` says the cell actually fills them (a scalar ``pl.when``
+    branch — the sparse tail of the occupancy distribution). Per-row
+    arithmetic and lane-reduction order are unchanged, so results are
+    bit-identical to the single-pass kernel.
     """
     n_real = scal_ref[0, 4]
     w = 3 * cap
@@ -479,17 +546,37 @@ def _cell_cols_kernel(pi_ref, pj_ref, scal_ref, out_ref, jbuf_ref, *,
         def jrow(row):  # (1, 27cap_pad) — static slice
             return jbuf_ref[row:row + 1, :]
 
-        fx, fy, fz, e_lj, e_ew = _fused_tile(pi, jrow, scal_ref, pack, rc2)
-        out_ref[0, iz, :, 0:1] = fx
-        out_ref[0, iz, :, 1:2] = fy
-        out_ref[0, iz, :, 2:3] = fz
-        out_ref[0, iz, :, 3:4] = e_lj
-        out_ref[0, iz, :, 4:5] = e_ew
-        out_ref[0, iz, :, 5:8] = jnp.zeros((cap, 3), jnp.float32)
+        def tile_rows(lo, hi):
+            # wrap=False: the caller pre-shifted every neighbor copy into
+            # this column's image (cell_local_positions + halo/xy shifts)
+            fx, fy, fz, e_lj, e_ew = _fused_tile(
+                pi[lo:hi], jrow, scal_ref, pack, rc2, wrap=False
+            )
+            out_ref[0, iz, lo:hi, 0:1] = fx
+            out_ref[0, iz, lo:hi, 1:2] = fy
+            out_ref[0, iz, lo:hi, 2:3] = fz
+            out_ref[0, iz, lo:hi, 3:4] = e_lj
+            out_ref[0, iz, lo:hi, 4:5] = e_ew
+            out_ref[0, iz, lo:hi, 5:8] = jnp.zeros((hi - lo, 3), jnp.float32)
+
+        tile_rows(0, s1)
+        if s1 < cap:
+            occ = occ_ref[pl.program_id(0), iz]
+
+            @pl.when(occ > s1)
+            def _():
+                tile_rows(s1, cap)
+
+            @pl.when(occ <= s1)
+            def _():
+                # skipped tail slots hold no particles, but the energy
+                # sums read every out row — zero them
+                out_ref[0, iz, s1:, :] = jnp.zeros((cap - s1, 8),
+                                                   jnp.float32)
 
 
 def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
-                           kappa, interpret=False):
+                           kappa, interpret=False, s1=None):
     """Column-resident variant of :func:`fused_cell_pallas` (round 2).
 
     Same tile math, different data movement: instead of gathering a
@@ -503,6 +590,19 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
     27-cell window per cell is 9 static lane slices done in-kernel.
     HBM j-traffic drops from ~27x to ~9x the cell-row bytes and the
     transpose happens once on the compact (C, cap, R) array.
+
+    Round-3 structural fixes to the cap-padding waste (VERDICT r2):
+
+    - **pre-wrapped images** — particle coordinates are normalized to
+      their bucket cell's image once per step (``cell_local_positions``)
+      and halo/neighbor copies are shifted by whole box lengths, so the
+      kernel computes plain ``xi - xj`` with NO per-pair min-image
+      rounding (~9 of ~65 VPU ops per padded pair slot). Exact for every
+      in-cutoff pair: disagreements with min-image can only occur at
+      distance >= cell width > r_cut.
+    - **occupancy-predicated two-tier i-rows** (``s1``, see
+      :func:`_cell_cols_kernel`): tile rows beyond the occupancy bulk run
+      only for the cells that need them.
 
     Requires >= 3 cells per axis (no wrapped-neighbor duplicates);
     callers fall back to :func:`fused_cell_pallas` otherwise.
@@ -520,13 +620,25 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
     zcap_pad = _round_up(zcap, 128)
 
     far = jnp.full((1, 3), jnp.asarray(1e6, dtype))
-    pos_pad = jnp.concatenate([position.astype(dtype), far])  # (N+1, 3)
+    # pre-wrapped layout: cell-local particle images (one normalization on
+    # N rows) + whole-box shifts on the halo/neighbor copies below let the
+    # kernel drop per-pair min-image rounding entirely (wrap=False)
+    pos_local = cell_local_positions(position.astype(dtype), box_L, clist,
+                                     cfg)
+    pos_pad = jnp.concatenate([pos_local, far])  # (N+1, 3)
     rows = jnp.concatenate([pos_pad, pack.static_rows], axis=1)  # (N+1, R)
 
     pi = rows[idx].reshape(XY, cz, cap, r)  # i-side column blocks
 
-    # j source: z-halo (wrap copies), then feature-major with z*cap lanes
-    zh = jnp.concatenate([pi[:, -1:], pi, pi[:, :1]], axis=1)
+    # j source: z-halo (wrap copies pre-shifted by -/+ Lz), then
+    # feature-major with z*cap lanes
+    box_f = jnp.asarray(box_L, dtype)
+    z_shift = jnp.zeros((1, 1, 1, r), dtype).at[0, 0, 0, 2].set(1.0)
+    zh = jnp.concatenate([
+        pi[:, -1:] - box_f[2] * z_shift,
+        pi,
+        pi[:, :1] + box_f[2] * z_shift,
+    ], axis=1)
     jsrc = jnp.transpose(zh, (0, 3, 1, 2)).reshape(XY, r, zcap)
     if zcap_pad != zcap:
         sent_col = jnp.zeros((r,), dtype).at[:3].set(1e6).at[4].set(float(n))
@@ -534,8 +646,22 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
             sent_col[None, :, None], (XY, r, zcap_pad - zcap)
         )
         jsrc = jnp.concatenate([jsrc, pad], axis=2)
-    xy_nb = jnp.asarray(_xy_neighbor_table(cx, cy), jnp.int32)
+    xy_nb_np, xy_wraps_np = _xy_neighbor_table_shifts(cx, cy)
+    xy_nb = jnp.asarray(xy_nb_np, jnp.int32)
     pj = jsrc[xy_nb]  # (XY, 9, r, zcap_pad) — 9 big contiguous rows per xy
+    # pre-shift the wrapped neighbor copies into this column's image:
+    # (XY, 9, r, 1) tensor, nonzero only on the x/y position rows at
+    # box-edge columns; one fused broadcast add over the gather output
+    wraps = jnp.asarray(xy_wraps_np, dtype)  # (XY, 9, 2)
+    row_x = jnp.zeros((r,), dtype).at[0].set(1.0)
+    row_y = jnp.zeros((r,), dtype).at[1].set(1.0)
+    xy_shift = (
+        (wraps[..., 0] * box_f[0])[:, :, None, None]
+        * row_x[None, None, :, None]
+        + (wraps[..., 1] * box_f[1])[:, :, None, None]
+        * row_y[None, None, :, None]
+    )
+    pj = pj + xy_shift
 
     box = jnp.asarray(box_L, dtype).reshape(3)
     scal = jnp.concatenate(
@@ -544,8 +670,19 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
     ).reshape(1, 5)
     rc2 = float(cfg.r_cut) ** 2
 
+    # two-tier i-row split point: cover the occupancy distribution's bulk
+    # (mean + ~1 sigma, 8-row sublane aligned); the tail runs under the
+    # per-cell occupancy predicate. s1 = cap disables tier 2.
+    if s1 is None:
+        # floor-to-8 of mean + 1 sigma: measured optimum at N=100k
+        # (occ mean 20.4 -> s1=24: 7.7 ms vs 8.5 at 32, 10.1 single-tier)
+        mean_occ = n / max(C, 1)
+        s1 = int((mean_occ + np.sqrt(mean_occ)) // 8) * 8
+    s1 = max(8, min(int(s1), cap))
+    occ = jnp.sum(idx < n, axis=1, dtype=jnp.int32).reshape(XY, cz)
+
     kernel = functools.partial(_cell_cols_kernel, pack=pack, rc2=rc2,
-                               cz=cz, cap=cap, lanes_pad=lanes_pad)
+                               cz=cz, cap=cap, lanes_pad=lanes_pad, s1=s1)
     out = pl.pallas_call(
         kernel,
         grid=(XY,),
@@ -554,6 +691,7 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 9, r, zcap_pad), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (XY, cz) occupancy
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, cz, cap, 8), lambda c: (c, 0, 0, 0),
@@ -561,7 +699,7 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
         out_shape=jax.ShapeDtypeStruct((XY, cz, cap, 8), dtype),
         scratch_shapes=[pltpu.VMEM((r, lanes_pad), jnp.float32)],
         interpret=interpret,
-    )(pi, pj, scal)
+    )(pi, pj, occ, scal)
 
     from cavmd_tpu.ops.neighbor import slot_gather_forces
 

@@ -17,14 +17,19 @@ per-axis matmuls with precomputed stacked half-spectrum DFT matrices (see
 autodiff gradient. On a sharded particle axis the grid contributions
 combine with one ``psum``.
 
-Mesh-resolution scaling caveat: the reference driver fixes resolution
-32^3 regardless of N (05_advanced_run.py:601), and this module matches
-that benchmark configuration. At much larger N the physically consistent
-mesh grows like N^(1/3), and the dense Khatri-Rao spread factor
-(N, Ky*Kz) grows with it — at N=100k / 64^3 it is 1.6 GB. Large meshes
-need a grid-partitioned spread (the opt-in Pallas kernel in
-``ops/pppm_pallas.py`` is the staging point; its VMEM-resident grid caps
-at ~(64, 64*64) f32 today).
+Mesh-resolution scaling: the reference driver runs resolution 32^3 at its
+501-particle workload (05_advanced_run.py:601); ``resolution`` is a
+PARAMETER there and here (``pppm_mesh`` / driver ``--pppm-resolution``),
+and constant grid spacing at larger N means growing it ~N^(1/3). The
+dense Khatri-Rao spread factor (N, Ky*Kz) grows with the mesh — 1.6 GB
+at N=100k / 64^3 — so above a dense-factor budget the solver
+auto-switches to the VMEM-resident Pallas spread kernel
+(``ops/pppm_pallas.py:pallas_spread_ok``; bf16x3 dots, analytic vjp).
+Accuracy A/B vs exact k-space Ewald: tests/test_ewald.py::
+test_pppm_mesh_resolution_error_scaling (32^3 -> 64^3 cuts force error
+>4x on a coarse-mesh box). VMEM caps the kernel at 64^3; 128^3+ would
+need a grid-partitioned (multi-block) accumulator — not yet needed at
+the sizes this framework targets.
 """
 
 from __future__ import annotations

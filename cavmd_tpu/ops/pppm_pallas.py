@@ -38,16 +38,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-# Opt-in switch, bound ONCE at import: callers cache the force function
+# Tri-state switch, bound ONCE at import: callers cache the force function
 # (lru_cache + jit), so a late env-var flip could never take effect anyway.
 # Binding here makes that explicit instead of trace-time-dependent.
-_PALLAS_SPREAD_ENABLED = os.environ.get("CAVMD_PPPM_PALLAS", "0") == "1"
+# None (unset) = auto heuristic; "1" = force on; "0" = force off.
+_PALLAS_SPREAD_MODE = os.environ.get("CAVMD_PPPM_PALLAS")
+_PALLAS_SPREAD_ENABLED = _PALLAS_SPREAD_MODE == "1"
 
-# Mosaic dots support only DEFAULT and HIGHEST (HIGH raises
-# NotImplementedError); DEFAULT would bf16-round the position-derived
-# weights (the heating-bug regime, ops/bonds.py), so HIGHEST it is — the
-# spread contraction is small enough that the extra passes don't matter.
-_SPREAD_PRECISION = jax.lax.Precision.HIGHEST
+# Mosaic dots support only DEFAULT (single-pass bf16) and HIGHEST (bf16x6)
+# — HIGH (bf16x3) raises NotImplementedError, yet HIGH is exactly what the
+# XLA spread path uses (ops/pppm.py:_PPPM_PRECISION, accuracy-validated:
+# 1.5e-5 rel force error vs f64). _split_bf16 + _dot3 reconstruct HIGH
+# manually: each operand stored as its bf16 upper half plus a bf16
+# residual, contracted as the three significant cross terms with DEFAULT
+# dots — identical error structure to XLA's bf16x3 algorithm at half the
+# HIGHEST pass count, and half the buffer bytes of f32 operands.
 
 
 def _stencils(pos_d, K, inv_L, order):
@@ -85,7 +90,30 @@ def _stencils(pos_d, K, inv_L, order):
     return S.astype(dtype), dS.astype(dtype)
 
 
-def _spread_fwd_kernel(pos_ref, q_ref, scal_ref, out_ref, bbuf_ref, *,
+def _split_bf16(x):
+    """bf16 (hi, lo) split of an f32 array — the operands of a manual
+    bf16x3 (~Precision.HIGH) dot. Storing both halves AS bf16 halves the
+    buffer bytes vs f32 and avoids re-splitting inside each dot (the f32
+    split path tripled VMEM residency: measured scoped-vmem OOM at 64^3)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a_hi, a_lo, b_hi, b_lo, dims):
+    """The three significant cross terms of (a_hi+a_lo)@(b_hi+b_lo) as
+    native-bf16 DEFAULT MXU passes — XLA's HIGH (bf16x3) algorithm."""
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dims, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+
+
+def _spread_fwd_kernel(pos_ref, q_ref, scal_ref, out_ref, bh_ref, bl_ref, *,
                        order, mesh, chunk):
     Kx, Ky, Kz = mesh
     i = pl.program_id(0)
@@ -96,13 +124,16 @@ def _spread_fwd_kernel(pos_ref, q_ref, scal_ref, out_ref, bbuf_ref, *,
     A = q_ref[:, 0:1] * Sx  # (chunk, Kx)
 
     # Khatri-Rao factor B[n, y*Kz+z] = Sy[n,y] * Sz[n,z], assembled as Ky
-    # broadcast-FMA column writes (no (chunk, Ky, Kz) relayout)
+    # broadcast-FMA column writes (no (chunk, Ky, Kz) relayout), stored
+    # directly as its bf16 hi/lo halves
     for y in range(Ky):
-        bbuf_ref[:, y * Kz:(y + 1) * Kz] = Sy[:, y:y + 1] * Sz
+        bh, bl = _split_bf16(Sy[:, y:y + 1] * Sz)
+        bh_ref[:, y * Kz:(y + 1) * Kz] = bh
+        bl_ref[:, y * Kz:(y + 1) * Kz] = bl
 
-    contrib = jax.lax.dot_general(
-        A, bbuf_ref[...], (((0,), (0,)), ((), ())),
-        precision=_SPREAD_PRECISION, preferred_element_type=jnp.float32,
+    a_hi, a_lo = _split_bf16(A)
+    contrib = _dot3(
+        a_hi, a_lo, bh_ref[...], bl_ref[...], (((0,), (0,)), ((), ()))
     )  # (Kx, Ky*Kz)
 
     @pl.when(i == 0)
@@ -114,8 +145,8 @@ def _spread_fwd_kernel(pos_ref, q_ref, scal_ref, out_ref, bbuf_ref, *,
         out_ref[...] += contrib
 
 
-def _spread_bwd_kernel(pos_ref, q_ref, scal_ref, ct_ref, dpos_ref, bbuf_ref,
-                       *, order, mesh, chunk):
+def _spread_bwd_kernel(pos_ref, q_ref, scal_ref, ct_ref, dpos_ref, bh_ref,
+                       bl_ref, *, order, mesh, chunk):
     Kx, Ky, Kz = mesh
 
     Sx, dSx = _stencils(pos_ref[:, 0], Kx, scal_ref[0, 0], order)
@@ -125,17 +156,18 @@ def _spread_bwd_kernel(pos_ref, q_ref, scal_ref, ct_ref, dpos_ref, bbuf_ref,
     A = q * Sx
 
     for y in range(Ky):
-        bbuf_ref[:, y * Kz:(y + 1) * Kz] = Sy[:, y:y + 1] * Sz
+        bh, bl = _split_bf16(Sy[:, y:y + 1] * Sz)
+        bh_ref[:, y * Kz:(y + 1) * Kz] = bh
+        bl_ref[:, y * Kz:(y + 1) * Kz] = bl
 
-    ct = ct_ref[...]  # (Kx, Ky*Kz) grid cotangent
+    ct_hi, ct_lo = _split_bf16(ct_ref[...])  # (Kx, Ky*Kz) grid cotangent
     # dA[n,x] = sum_m B[n,m] ct[x,m];  dB[n,m] = sum_x A[n,x] ct[x,m]
-    dA = jax.lax.dot_general(
-        bbuf_ref[...], ct, (((1,), (1,)), ((), ())),
-        precision=_SPREAD_PRECISION, preferred_element_type=jnp.float32,
+    dA = _dot3(
+        bh_ref[...], bl_ref[...], ct_hi, ct_lo, (((1,), (1,)), ((), ()))
     )  # (chunk, Kx)
-    dB = jax.lax.dot_general(
-        A, ct, (((1,), (0,)), ((), ())),
-        precision=_SPREAD_PRECISION, preferred_element_type=jnp.float32,
+    a_hi, a_lo = _split_bf16(A)
+    dB = _dot3(
+        a_hi, a_lo, ct_hi, ct_lo, (((1,), (0,)), ((), ()))
     )  # (chunk, Ky*Kz)
 
     # dSy[:, y] = sum_z dB[:, y*Kz+z] Sz[:, z];  dSz += dB_slice * Sy_col
@@ -167,19 +199,37 @@ def _pad_chunk(x, chunk, fill=0.0):
     )
 
 
+def _resolve_chunk(mesh, chunk):
+    """Particle-chunk size bounded by VMEM: the bwd kernel holds the bf16
+    B hi/lo scratches (chunk * Ky*Kz * 4 B total) plus the f32 dB
+    (chunk * Ky*Kz * 4 B) against the 16 MB scoped-vmem limit."""
+    if chunk is not None:
+        return chunk
+    kyz = mesh[1] * mesh[2]
+    if kyz <= 2048:
+        return 256
+    if kyz <= 4096:
+        return 128  # 64^3: bwd holds bf16 B hi/lo + f32 dB + ct splits;
+        # chunk 256 measured 21.5 MB scoped vmem (OOM at the 16 MB limit)
+    return 64
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def spread_grid_pallas(position, charge, box_L, order, mesh, chunk=256,
+def spread_grid_pallas(position, charge, box_L, order, mesh, chunk=None,
                        interpret=False):
     """Charge grid (Kx, Ky*Kz) via the Pallas spread kernel.
 
     Differentiable in ``position`` (analytic vjp). ``charge``/``box_L``
     receive zero cotangents (never differentiated in this framework).
+    ``chunk=None`` auto-sizes against the VMEM budget (see
+    :func:`_resolve_chunk`).
     """
     return _spread_call(position, charge, box_L, order, mesh, chunk,
                         interpret)
 
 
 def _spread_call(position, charge, box_L, order, mesh, chunk, interpret):
+    chunk = _resolve_chunk(mesh, chunk)
     Kx, Ky, Kz = mesh
     n = position.shape[0]
     pos = _pad_chunk(position.astype(jnp.float32), chunk)
@@ -202,7 +252,8 @@ def _spread_call(position, charge, box_L, order, mesh, chunk, interpret):
         out_specs=pl.BlockSpec((Kx, Ky * Kz), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Kx, Ky * Kz), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((chunk, Ky * Kz), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((chunk, Ky * Kz), jnp.bfloat16),
+                        pltpu.VMEM((chunk, Ky * Kz), jnp.bfloat16)],
         interpret=interpret,
     )(pos, q, inv_box)
 
@@ -215,6 +266,7 @@ def _spread_fwd(position, charge, box_L, order, mesh, chunk, interpret):
 
 def _spread_bwd(order, mesh, chunk, interpret, res, ct):
     position, charge, box_L = res
+    chunk = _resolve_chunk(mesh, chunk)
     Kx, Ky, Kz = mesh
     n = position.shape[0]
     pos = _pad_chunk(position.astype(jnp.float32), chunk)
@@ -239,7 +291,8 @@ def _spread_bwd(order, mesh, chunk, interpret, res, ct):
         out_specs=pl.BlockSpec((chunk, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((chunk, Ky * Kz), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((chunk, Ky * Kz), jnp.bfloat16),
+                        pltpu.VMEM((chunk, Ky * Kz), jnp.bfloat16)],
         interpret=interpret,
     )(pos, q, inv_box, ct.astype(jnp.float32))
     dpos = dpos[:n].astype(position.dtype)
@@ -249,30 +302,45 @@ def _spread_bwd(order, mesh, chunk, interpret, res, ct):
 spread_grid_pallas.defvjp(_spread_fwd, _spread_bwd)
 
 
+# XLA-spread dense-factor budget: above this the (N, Ky*Kz) Khatri-Rao
+# intermediate (2 HBM round-trips per force evaluation) is no longer worth
+# its GEMM efficiency and the VMEM-resident Pallas spread takes over. The
+# crossover is coarse by design: at 32^3/100k (410 MB) the XLA path still
+# WINS (3.7 vs 7.5 ms, measured v5e — K=32 lane underfill in the kernel);
+# at 64^3/100k the factor is 1.6 GB and the dense path is effectively
+# unusable, so the kernel is the scaling path for mesh-consistent large-N
+# electrostatics (VERDICT r2 item 2).
+_DENSE_SPREAD_BUDGET_BYTES = 768 << 20
+
+
 def pallas_spread_ok(mesh, n=None, backend=None) -> bool:
     """Static predicate: is the Pallas spread applicable AND profitable?
 
-    Currently opt-in only (CAVMD_PPPM_PALLAS=1): measured on v5e the
-    kernel LOSES to the XLA GEMM path at both scales — 50 vs 20 us at
-    N=501 (call overhead), 7.5 vs 3.7 ms at N=100k — despite eliminating
-    the 410 MB (N, Ky*Kz) HBM intermediate. The loss is lane/row
-    underfill: every per-axis array is K=32 wide (25% of the 128 lanes),
-    the accumulation dot has M=32 rows (25% of the MXU), and Mosaic dots
-    only offer DEFAULT (unsafe: bf16-rounds position-derived weights) or
-    HIGHEST (bf16x6, 2x the XLA path's HIGH). Kept as a correct,
-    tested foundation — profitable once columns are batched 4-wide into
-    full lanes — not as the default.
+    Default (env unset): AUTO — used only when the XLA path's dense
+    (N, Ky*Kz) factor exceeds ``_DENSE_SPREAD_BUDGET_BYTES`` and the
+    kernel's VMEM residency fits (grid + chunk buffer). Below the budget
+    the XLA GEMM path measured faster at both probed scales — 50 vs 20 us
+    at N=501 (call overhead), 7.5 vs 3.7 ms at 32^3/N=100k (K=32-wide
+    arrays underfill lanes and MXU rows). CAVMD_PPPM_PALLAS=1 forces the
+    kernel on wherever applicable (used by tests/benchmarks).
 
     The env flag is read once at module import (_PALLAS_SPREAD_ENABLED):
     the result feeds functions cached by lru_cache and jit, so it must be
     process-constant — set CAVMD_PPPM_PALLAS before importing cavmd_tpu.
     """
-    if not _PALLAS_SPREAD_ENABLED:
-        return False
-    Ky, Kz = mesh[1], mesh[2]
+    Kx, Ky, Kz = mesh
     if (Ky * Kz) % 128 != 0:
         return False
     if n is not None and n < 8192:
         return False
+    # VMEM residency: accumulator grid + (chunk, Ky*Kz) B buffer well
+    # under the ~16 MB budget; 64^3 fits (1 MB grid), 128^3 does not
+    if Kx * Ky * Kz * 4 > (2 << 20):
+        return False
     backend = backend or jax.default_backend()
-    return backend == "tpu"
+    if backend != "tpu":
+        return False
+    if _PALLAS_SPREAD_MODE is not None:
+        return _PALLAS_SPREAD_ENABLED
+    dense_bytes = (n or 0) * Ky * Kz * 4
+    return dense_bytes > _DENSE_SPREAD_BUDGET_BYTES

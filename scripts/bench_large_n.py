@@ -28,6 +28,9 @@ def main():
     ap.add_argument("n_molecules", type=int, nargs="?", default=50_000)
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="write a jax.profiler trace of one chunk to DIR")
+    ap.add_argument("--mesh", type=int, default=32,
+                    help="PPPM mesh per axis (64 = constant-spacing mesh "
+                         "at 100k; auto-selects the Pallas spread)")
     cli = ap.parse_args()
     n_mol = cli.n_molecules
 
@@ -47,7 +50,8 @@ def main():
                                temperature_K=100.0, seed=1)
     snap = snap.astype(jnp.float32)
     ff = ForceField.create(snap, coupling=1e-3, freq_cm1=2000.0,
-                           dtype=jnp.float32, pair_mode="cell")
+                           dtype=jnp.float32, pair_mode="cell",
+                           pppm_mesh=(cli.mesh,) * 3)
     kT = PC.kT_from_kelvin(100.0)
     methods = resolve_methods(snap, (
         MethodSpec(kind="bussi", group="molecular", kT=kT,

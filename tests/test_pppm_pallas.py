@@ -69,3 +69,50 @@ def test_pallas_spread_padding_invariant(scene):
     g128 = spread_grid_pallas(pos, q, box, order, mesh, 128, True)
     np.testing.assert_allclose(np.asarray(g64), np.asarray(g128),
                                atol=1e-5 * float(jnp.abs(g64).max()))
+
+
+def test_spread_64_mesh_matches_xla():
+    """64^3 mesh through the Pallas spread (the mesh-consistent large-N
+    configuration: the XLA path's dense (N, Ky*Kz) factor is 1.6 GB at
+    100k and unusable) — grid and analytic backward match the XLA path."""
+    mesh = (64, 64, 64)
+    order = 6
+    rng = np.random.default_rng(11)
+    n = 64
+    box = jnp.asarray([40.0, 40.0, 40.0], jnp.float32)
+    pos = jnp.asarray(
+        (rng.random((n, 3)) - 0.5) * np.asarray(box), jnp.float32
+    )
+    q = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    grid = spread_grid_pallas(pos, q, box, order, mesh, 64, True)
+    from cavmd_tpu.ops.pppm import _spread_matrices
+
+    Sx, Sy, Sz = _spread_matrices(pos, box, order, mesh)
+    A = q[:, None] * Sx
+    B = (Sy[:, :, None] * Sz[:, None, :]).reshape(n, -1)
+    ref = A.T @ B
+    np.testing.assert_allclose(
+        np.asarray(grid), np.asarray(ref), atol=5e-5,
+        rtol=0,
+    )
+
+    ct = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    dpos = jax.vjp(
+        lambda p: spread_grid_pallas(p, q, box, order, mesh, 64, True),
+        pos,
+    )[1](ct)[0]
+    dref = jax.vjp(
+        lambda p: (
+            (q[:, None] * _spread_matrices(p, box, order, mesh)[0]).T
+            @ (
+                _spread_matrices(p, box, order, mesh)[1][:, :, None]
+                * _spread_matrices(p, box, order, mesh)[2][:, None, :]
+            ).reshape(n, -1)
+        ),
+        pos,
+    )[1](ct)[0]
+    scale = np.abs(np.asarray(dref)).max()
+    np.testing.assert_allclose(
+        np.asarray(dpos), np.asarray(dref), atol=3e-4 * scale, rtol=0
+    )
