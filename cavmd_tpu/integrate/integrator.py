@@ -398,15 +398,22 @@ def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None
     return step
 
 
-def run_steps(step_fn, state: MDState, n_steps: int):
+def run_steps(step_fn, state: MDState, n_steps: int, unroll: int = 4):
     """Scan ``n_steps`` fused steps; returns (final_state, stacked_obs).
 
-    TPU-native detail (measured v5e, N=501): the obs dict is ~15 scalar
-    leaves, and a scan emits one dynamic-update-slice per leaf per step —
-    ~10 us/step of pure per-op overhead, 12% of the whole step. Inside
-    the scan the same-dtype scalar leaves are packed into ONE vector (one
-    update-slice); they are unpacked into the original dict right after,
-    so callers see an identical pytree.
+    TPU-native details (measured v5e, N=501):
+
+    - the obs dict is ~15 scalar leaves, and a scan emits one
+      dynamic-update-slice per leaf per step — ~10 us/step of pure per-op
+      overhead, 12% of the whole step. Inside the scan the same-dtype
+      scalar leaves are packed into ONE vector (one update-slice); they
+      are unpacked into the original dict right after, so callers see an
+      identical pytree.
+    - the scan is unrolled 4x: at N=501 the step graph is ~60 small ops
+      whose inter-op sequencing gaps plus the while-loop bookkeeping are
+      ~30% of the step; unrolling amortizes both and lets XLA overlap
+      across steps — 103 -> 84 us/step, saturating at unroll=4 (8 gave
+      +0.5%). Physics is unchanged: unroll only regroups iterations.
     """
 
     meta = {}
@@ -432,7 +439,8 @@ def run_steps(step_fn, state: MDState, n_steps: int):
         meta["n_packed"] = len(packed)
         return new_state, (*packed, *rest)
 
-    final, ys = jax.lax.scan(body, state, None, length=n_steps)
+    final, ys = jax.lax.scan(body, state, None, length=n_steps,
+                             unroll=min(unroll, max(n_steps, 1)))
     packed = ys[:meta["n_packed"]]
     rest = ys[meta["n_packed"]:]
     treedef = meta["treedef"]

@@ -69,8 +69,13 @@ def main():
         kids = node.get("children", [])
         name = node.get("name", "?")
         raw = node.get("metrics", {}).get("rawTime", 0)
-        if not kids:
-            rows.append((raw, name, path))
+        # self-time: fusions carry their time on the parent node, with
+        # constituent-op children that have no rawTime of their own
+        self_raw = raw - sum(
+            k.get("metrics", {}).get("rawTime", 0) for k in kids
+        )
+        if self_raw > 0:
+            rows.append((self_raw, name, path))
         for k in kids:
             walk(k, path + "/" + name)
 
