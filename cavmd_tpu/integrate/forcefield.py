@@ -128,9 +128,11 @@ class ForceField:
         integrator can carry the CellList across steps and rebuild it only
         when a particle has moved more than skin/2 (the HOOMD
         displacement-triggered rebuild with ``buffer``, SURVEY.md §2.3)."""
-        from cavmd_tpu.ops.neighbor import CellListConfig
+        from cavmd_tpu.ops.neighbor import CellListConfig, build_zcol_list
 
         cfg = CellListConfig(*self.cell_cfg)
+        if self.pair_mode == "zcol":
+            return build_zcol_list(position, box_L, cfg)
         return build_cell_list(position, box_L, cfg, self.cell_neighbors)
 
     def compute(self, position, image, box_L, charge, typeid, bond_group,
@@ -176,14 +178,13 @@ class ForceField:
             forces = forces + f
             energies["harmonic"] = e
 
-        if self.pair_mode == "cell" and (self.enable_lj or self.enable_coulomb):
+        if (self.pair_mode in ("cell", "zcol")
+                and (self.enable_lj or self.enable_coulomb)):
             from cavmd_tpu.ops.neighbor import CellListConfig
 
             cfg = CellListConfig(*self.cell_cfg)
             if clist is None:
-                clist = build_cell_list(
-                    position, box_L, cfg, self.cell_neighbors
-                )
+                clist = self.build_cells(position, box_L)
             # failure detection (SURVEY.md §5): a bucket overflow would
             # silently drop pairs — surface it in the observable stream so
             # the chunked runner can abort (Simulation.run checks it)
@@ -199,7 +200,30 @@ class ForceField:
                 and dtype == jnp.float32
                 and jax.default_backend() == "tpu"
             )
-            if use_pallas_cells:
+            if self.pair_mode == "zcol":
+                # z-sorted column layout: Pallas-only (the merged-halo
+                # window pruning has no XLA tile counterpart). Off-TPU it
+                # runs the same kernel in interpret mode — correct, slow;
+                # auto-selection never picks zcol off-TPU.
+                from cavmd_tpu.ops.pallas_kernels import (
+                    fused_zsort_cols_pallas,
+                )
+
+                f, e_lj, e_ew, win_ovf = fused_zsort_cols_pallas(
+                    position, box_L, clist, cfg, self.cell_pallas_pack,
+                    self.kappa,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                forces = forces + f
+                energies["lj"] = e_lj
+                energies["ewald_short"] = e_ew
+                # a hull wider than the kernel's static window would drop
+                # pair blocks — same failure class as a bucket overflow,
+                # same detection channel
+                energies["cell_overflow"] = jnp.maximum(
+                    energies["cell_overflow"], win_ovf.astype(dtype)
+                )
+            elif use_pallas_cells:
                 # hand-fused Pallas tile pass: all intermediates in VMEM
                 # (the XLA tile path materializes several (C, cap, 27cap)
                 # tensors to HBM; measured 2.7-3x slower at N=100k).
@@ -446,17 +470,43 @@ class ForceField:
                 uniform_rcut_val = float(vals[0])
 
         cell_block_val = None
-        if pair_mode == "cell":
-            cfg = plan_cells(
-                np.asarray(snapshot.box_L), r_cut, skin=cell_skin,
-                n=snapshot.N, cap=cell_cap,
-            )
+        if pair_mode in ("cell", "zcol"):
+            if pair_mode == "zcol":
+                # z-sorted column layout (Pallas merged-halo kernel):
+                # requires the fused-kernel preconditions
+                if uniform_rcut_val is None or not (
+                    enable_lj and enable_coulomb
+                ):
+                    raise ValueError(
+                        "pair_mode='zcol' needs a uniform cutoff with both "
+                        "LJ and Coulomb enabled (the fused kernel's "
+                        "contract); use pair_mode='cell'"
+                    )
+                from cavmd_tpu.ops.neighbor import plan_zcolumns
+
+                cfg = plan_zcolumns(
+                    np.asarray(snapshot.box_L), r_cut, skin=cell_skin,
+                    n=snapshot.N,
+                )
+                if min(cfg.ncells[:2]) < 3:
+                    raise ValueError(
+                        "pair_mode='zcol' needs >=3 columns per xy axis "
+                        f"(got {cfg.ncells[:2]}); use pair_mode='cell'"
+                    )
+                if cell_cap is not None:
+                    # column capacity must stay a j-block multiple
+                    cfg = cfg._replace(cap=((cell_cap + 127) // 128) * 128)
+            else:
+                cfg = plan_cells(
+                    np.asarray(snapshot.box_L), r_cut, skin=cell_skin,
+                    n=snapshot.N, cap=cell_cap,
+                )
             cell_cfg_tuple = tuple(cfg)
             # bound peak tile memory (~256 MB of f32 per materialized tile)
             tile_bytes_per_cell = cfg.cap * 27 * cfg.cap * 4
             max_block = max(1, (256 << 20) // max(tile_bytes_per_cell, 1))
             C = cfg.total_cells
-            if C > max_block:
+            if pair_mode == "cell" and C > max_block:
                 blk = max_block
                 while C % blk != 0:
                     blk -= 1

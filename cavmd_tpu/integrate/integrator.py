@@ -193,7 +193,8 @@ def init_state(
         snapshot.typeid, snapshot.bond_group, snapshot.bond_typeid,
     )
     cell_list = cell_anchor = None
-    if ff.pair_mode == "cell" and ff.cell_cfg is not None and ff.cell_cfg[3] > 0:
+    if (ff.pair_mode in ("cell", "zcol") and ff.cell_cfg is not None
+            and ff.cell_cfg[3] > 0):
         # skin > 0: carry the cell list; the step rebuilds it on demand
         cell_list = jax.jit(ff.build_cells)(snapshot.position, snapshot.box_L)
         cell_anchor = snapshot.position

@@ -81,6 +81,22 @@ class CellList(NamedTuple):
     # results out of (C, cap)-shaped tile outputs instead of scatter-adding
     # them (scatter of 221k force rows cost 2.9 ms/step at N=100k, v5e).
     slot_of: jnp.ndarray = None
+    # z-sorted column layout only (build_zcol_list): positions at build
+    # time (raw, and normalized to the assignment's periodic image). The
+    # kernel reconstructs drift-continuous local coordinates as
+    # local_anchor + minimage(position - anchor), so a particle that
+    # crosses the z boundary between rebuilds keeps a coordinate adjacent
+    # to its sorted-slot neighbors instead of teleporting by Lz (which
+    # would break the contiguous-window pruning).
+    anchor: jnp.ndarray = None  # (N, 3)
+    local_anchor: jnp.ndarray = None  # (N, 3)
+    # z-sorted column layout only: the MERGED candidate halo. For each
+    # column, the 9 xy-neighbor columns' slots (self included) re-sorted
+    # into one ascending-z list, so any [z_lo, z_hi] candidate window is a
+    # single contiguous span of ~window-density * 9 slots — the structure
+    # that lets the kernel prune to ~mean-occupancy candidate lanes
+    # instead of 27*cap (the round-2 cap-padding waste).
+    halo_idx: jnp.ndarray = None  # (XY, 9*cap) int32 particle ids (N=empty)
 
 
 def neighbor_cell_table(ncells) -> np.ndarray:
@@ -177,6 +193,126 @@ def build_cell_list(position, box_L, cfg: CellListConfig,
         overflow=overflow,
         neighbor_cells=jnp.asarray(neighbor_cells, jnp.int32),
         slot_of=slot_of,
+    )
+
+
+def plan_zcolumns(box_L, r_cut, *, skin=1.0, n=None):
+    """Choose the xy-column decomposition for the z-sorted layout.
+
+    The z-sorted layout (see ``build_zcol_list``) bins particles into xy
+    COLUMNS of width >= r_cut + skin and keeps them z-SORTED within each
+    column, with a per-column capacity that is a multiple of 128 (the
+    kernel's j-block width). Column occupancy ~ cz * cell occupancy, so
+    its relative Poisson spread shrinks ~1/sqrt(cz) and the capacity
+    margin is ~1.2x the mean instead of the per-cell bucket layout's
+    ~2.25x — the structural fix for cap-padding waste (VERDICT r2).
+
+    Returned as a ``CellListConfig`` with ``ncells=(cx, cy, 1)`` so the
+    carried-list plumbing (displacement-triggered rebuild, overflow
+    capacity re-plan) is shared with the bucket layout.
+    """
+    box_L = np.asarray(box_L, float)
+    width = r_cut + skin
+    cx = int(max(np.floor(box_L[0] / width), 1))
+    cy = int(max(np.floor(box_L[1] / width), 1))
+    if skin > 0:
+        skin = float(min(box_L[0] / cx, box_L[1] / cy) - r_cut)
+    mean = (n or 1) / (cx * cy)
+    cap = mean + 4.5 * np.sqrt(mean) + 16  # Poisson tail + drift headroom
+    cap = int(np.ceil(cap / 128.0)) * 128
+    return CellListConfig(ncells=(cx, cy, 1), cap=cap, r_cut=float(r_cut),
+                          skin=float(skin))
+
+
+def build_zcol_list(position, box_L, cfg: CellListConfig,
+                    neighbor_cells=None) -> CellList:
+    """Bin particles into z-sorted xy-column buckets (pure JAX, jit-safe).
+
+    Same contract as :func:`build_cell_list` (``bucket_idx`` (XY, cap),
+    ``overflow``, ``slot_of``) plus the anchor fields used by
+    ``fused_zsort_cols_pallas`` for drift-continuous local coordinates.
+    Within a column, slots are ordered by ascending wrapped z (quantized
+    to 2^14 levels for the packed sort key; exact per-step z-bounds are
+    recomputed from live positions, so key quantization only affects how
+    tightly blocks pack, not correctness).
+    """
+    n = position.shape[0]
+    dtype = position.dtype
+    cx, cy, _ = cfg.ncells
+    XY = cx * cy
+    box = jnp.asarray(box_L, dtype)
+
+    frac = position / box + 0.5
+    ncol2 = jnp.asarray([cx, cy], jnp.int32)
+    col2 = jnp.clip(
+        jnp.floor(frac[:, :2] * ncol2.astype(dtype)).astype(jnp.int32),
+        0, ncol2 - 1,
+    )
+    col = col2[:, 0] * cy + col2[:, 1]
+    zq = jnp.clip(
+        jnp.floor((frac[:, 2] - jnp.floor(frac[:, 2])) * 16384.0)
+        .astype(jnp.int32),
+        0, 16383,
+    )
+    assert XY * 16384 <= 2**31 - 1, "too many columns for the packed key"
+    order = jnp.argsort(col * 16384 + zq, stable=True).astype(jnp.int32)
+    sorted_col = col[order]
+
+    iota = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_col[1:] != sorted_col[:-1]]
+    )
+    first_of_col = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, iota, 0)
+    )
+    rank = iota - first_of_col
+
+    overflow = jnp.any(rank >= cfg.cap)
+    rank_c = jnp.minimum(rank, cfg.cap - 1)
+
+    bucket_idx = jnp.full((XY * cfg.cap,), n, jnp.int32)
+    flat = sorted_col * cfg.cap + rank_c
+    bucket_idx = bucket_idx.at[flat].set(order)
+    dump = jnp.asarray(XY * cfg.cap, jnp.int32)
+    owns = bucket_idx[flat] == order
+    slot_of = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.where(owns, flat, dump)
+    )
+
+    # normalized build-time coordinates: xy in the assigned column's
+    # center image, z in the primary box image
+    colf = col2.astype(dtype)
+    center = ((colf + 0.5) / ncol2.astype(dtype) - 0.5) * box[:2]
+    off_xy = position[:, :2] - center
+    loc_xy = center + off_xy - box[:2] * jnp.round(off_xy / box[:2])
+    loc_z = position[:, 2:3] - box[2] * jnp.round(position[:, 2:3] / box[2])
+    local_anchor = jnp.concatenate([loc_xy, loc_z], axis=1)
+
+    bucket_idx = bucket_idx.reshape(XY, cfg.cap)
+
+    # merged candidate halo: concatenate the 9 xy-neighbor columns' slots
+    # and re-sort by quantized z (stable; empty slots keyed past every
+    # real z so they land at the tail). One (XY, 9cap) row-wise argsort per
+    # rebuild — amortized over the ~rebuild_every steps between rebuilds.
+    from cavmd_tpu.ops.pallas_kernels import _xy_neighbor_table
+
+    xy_nb = jnp.asarray(_xy_neighbor_table(cx, cy), jnp.int32)  # (XY, 9)
+    zq_slot = jnp.concatenate(
+        [zq, jnp.full((1,), 1 << 20, jnp.int32)]
+    )[bucket_idx]  # (XY, cap) quantized z per slot (sentinel past all real)
+    cand_idx = bucket_idx[xy_nb].reshape(XY, 9 * cfg.cap)
+    cand_zq = zq_slot[xy_nb].reshape(XY, 9 * cfg.cap)
+    morder = jnp.argsort(cand_zq, axis=-1, stable=True)
+    halo_idx = jnp.take_along_axis(cand_idx, morder, axis=-1)
+
+    return CellList(
+        bucket_idx=bucket_idx,
+        overflow=overflow,
+        neighbor_cells=jnp.zeros((0,), jnp.int32),
+        slot_of=slot_of,
+        anchor=position,
+        local_anchor=local_anchor,
+        halo_idx=halo_idx,
     )
 
 

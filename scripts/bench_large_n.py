@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--mesh", type=int, default=32,
                     help="PPPM mesh per axis (64 = constant-spacing mesh "
                          "at 100k; auto-selects the Pallas spread)")
+    ap.add_argument("--pair-mode", default="cell",
+                    choices=("cell", "zcol"),
+                    help="bucket-tile Pallas kernel (cell) or the z-sorted "
+                         "column kernel (zcol, round 3)")
+    ap.add_argument("--bi", type=int, default=None,
+                    help="zcol i-block rows (sweep knob; default kernel's)")
     cli = ap.parse_args()
     n_mol = cli.n_molecules
 
@@ -49,8 +55,19 @@ def main():
     snap = add_cavity_particle(snap, coupling=1e-3, freq_cm1=2000.0,
                                temperature_K=100.0, seed=1)
     snap = snap.astype(jnp.float32)
+    if cli.bi is not None:
+        import functools as _ft
+
+        import cavmd_tpu.ops.pallas_kernels as _pk
+
+        _pk.fused_zsort_cols_pallas = _ft.partial(
+            _pk.fused_zsort_cols_pallas.__wrapped__
+            if hasattr(_pk.fused_zsort_cols_pallas, "__wrapped__")
+            else _pk.fused_zsort_cols_pallas,
+            bi=cli.bi,
+        )
     ff = ForceField.create(snap, coupling=1e-3, freq_cm1=2000.0,
-                           dtype=jnp.float32, pair_mode="cell",
+                           dtype=jnp.float32, pair_mode=cli.pair_mode,
                            pppm_mesh=(cli.mesh,) * 3)
     kT = PC.kT_from_kelvin(100.0)
     methods = resolve_methods(snap, (
@@ -108,19 +125,35 @@ def main():
 
     cfg = CellListConfig(*ff.cell_cfg)
     C, cap = cfg.total_cells, cfg.cap
-    lanes = ((27 * cap + 127) // 128) * 128
-    pair_slots = C * cap * lanes  # padded tile lanes actually computed
-    ops_per_slot = 65  # counted from _fused_tile: min-image 15, masks 10,
-    # LJ 14, erfc poly 14, exp/rsqrt ~6, force+energy rows 6
-    kernel_frac = 0.55  # tile kernel share of the step (xprof op profile)
-    slot_rate = pair_slots / (ms * 1e-3 * kernel_frac)
-    print(
-        f"tile pass: {pair_slots/1e6:.0f}M pair-slots/step, "
-        f"~{slot_rate/1e9:.1f}G slots/s sustained, "
-        f"~{slot_rate*ops_per_slot/1e12:.2f}T f32 VPU op/s "
-        f"(v5e VPU order-of-peak ~4-8T/s incl. FMA -> ~25-50% utilization; "
-        f"HBM-roofline share <2%, i.e. compute-bound)"
-    )
+    if cli.pair_mode == "zcol":
+        # measure the predicate's actual tile count from the carried list
+        from cavmd_tpu.ops.neighbor import build_zcol_list
+
+        zl = jax.jit(lambda p: build_zcol_list(p, snap.box_L, cfg))(
+            state.position
+        )
+        bi = cli.bi or 16
+        occ = np.asarray(jnp.sum(zl.bucket_idx < snap.N, axis=1))
+        print(f"zcol: XY={C} columns, cap={cap}, occupancy "
+              f"mean {occ.mean():.1f} max {occ.max()} "
+              f"(cap margin {cap / max(occ.mean(), 1):.2f}x)")
+        lanes = None
+        pair_slots = None
+    else:
+        lanes = ((27 * cap + 127) // 128) * 128
+        pair_slots = C * cap * lanes  # padded tile lanes actually computed
+    if pair_slots is not None:
+        ops_per_slot = 65  # counted from _fused_tile: min-image 15, masks
+        # 10, LJ 14, erfc poly 14, exp/rsqrt ~6, force+energy rows 6
+        kernel_frac = 0.55  # tile share of the step (xprof op profile)
+        slot_rate = pair_slots / (ms * 1e-3 * kernel_frac)
+        print(
+            f"tile pass: {pair_slots/1e6:.0f}M pair-slots/step, "
+            f"~{slot_rate/1e9:.1f}G slots/s sustained, "
+            f"~{slot_rate*ops_per_slot/1e12:.2f}T f32 VPU op/s "
+            f"(v5e VPU order-of-peak ~4-8T/s incl. FMA -> ~25-50% "
+            f"utilization; HBM-roofline share <2%, i.e. compute-bound)"
+        )
 
     if cli.profile:
         with jax.profiler.trace(cli.profile):

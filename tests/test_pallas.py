@@ -176,3 +176,103 @@ def test_pallas_cols_two_tier_bit_identical():
                                       np.asarray(ref[0]))
         assert float(outs[s1][1]) == float(ref[1])
         assert float(outs[s1][2]) == float(ref[2])
+
+
+def test_zsort_cols_kernel_matches_xla():
+    """The z-sorted column kernel (round 3): forces/energies must match the
+    XLA bucket-tile path at build positions AND after drift (re-wraps
+    included) — the pruned candidate window must stay exact under motion
+    between rebuilds (live-z block bounds + circular overlap test)."""
+    from cavmd_tpu.ops.neighbor import (
+        CellListConfig,
+        build_cell_list,
+        build_zcol_list,
+        cell_pair_force,
+        make_fused_cell_kernel,
+        plan_zcolumns,
+    )
+    from cavmd_tpu.ops.pallas_kernels import fused_zsort_cols_pallas
+
+    snap = make_diatomic_system(60, box_L=40.0, temperature_K=100.0, seed=3)
+    snap = add_cavity_particle(
+        snap, coupling=1e-3, freq_cm1=2000.0, temperature_K=100.0, seed=4
+    ).astype(jnp.float32)
+    ff = ForceField.create(
+        snap, coupling=1e-3, pair_mode="cell", r_cut=12.0,
+        pppm_mesh=(8, 8, 8), dtype=jnp.float32,
+    )
+    cfg = CellListConfig(*ff.cell_cfg)
+    kern = make_fused_cell_kernel(
+        ff.lj_eps, ff.lj_sigma, ff.lj_rcut, ff.kappa, ff.n_types,
+        uniform_rcut=ff.uniform_rcut,
+    )
+    zcfg = plan_zcolumns(np.asarray(snap.box_L), 12.0, n=snap.N)
+    assert zcfg.cap % 128 == 0
+    zlist = build_zcol_list(snap.position, snap.box_L, zcfg)
+    assert not bool(zlist.overflow)
+
+    rng = np.random.default_rng(0)
+    pos = snap.position
+    box = np.asarray(snap.box_L)
+    for trial in range(3):
+        # reference at the CURRENT positions via a fresh bucket list
+        clist = build_cell_list(pos, snap.box_L, cfg, ff.cell_neighbors)
+        f_ref, (elj_ref, eew_ref) = cell_pair_force(
+            pos, snap.box_L, clist, cfg, kern,
+            features=ff.cell_features, exclusions=ff.cell_exclusions,
+            cell_block=ff.cell_block,
+        )
+        # zcol kernel against the STALE build-time zlist (drift trials)
+        f_z, elj_z, eew_z, win_ovf = fused_zsort_cols_pallas(
+            pos, snap.box_L, zlist, zcfg, ff.cell_pallas_pack,
+            ff.kappa, interpret=True,
+        )
+        assert not bool(win_ovf)
+        scale = float(jnp.abs(f_ref).max())
+        np.testing.assert_allclose(
+            np.asarray(f_z), np.asarray(f_ref), atol=2e-5 * scale
+        )
+        assert float(elj_z) == pytest.approx(float(elj_ref), rel=1e-5)
+        assert float(eew_z) == pytest.approx(
+            float(eew_ref), rel=1e-3, abs=1e-9
+        )
+        # drift by up to skin/2 and re-wrap into the box (the zlist stays
+        # anchored at the build positions, as during carried-list steps)
+        delta = rng.uniform(-1, 1, size=(snap.N, 3)).astype(np.float32)
+        delta *= 0.49 * zcfg.skin / np.abs(delta).max()
+        pos = pos + jnp.asarray(delta)
+        pos = pos - jnp.asarray(box) * jnp.round(pos / jnp.asarray(box))
+
+
+def test_forcefield_zcol_mode_trajectory():
+    """pair_mode='zcol' end-to-end (interpret on CPU): a 40-step NVE
+    trajectory with the carried, displacement-rebuilt column list matches
+    pair_mode='cell' (force deviations sit below f32 position ulp at this
+    scale, so positions agree essentially exactly)."""
+    from cavmd_tpu.integrate.integrator import (
+        MethodSpec, init_state, make_step_fn, resolve_methods, run_steps,
+    )
+
+    traj = {}
+    for mode in ("cell", "zcol"):
+        snap = make_diatomic_system(
+            60, box_L=40.0, temperature_K=100.0, seed=3
+        )
+        snap = add_cavity_particle(
+            snap, coupling=1e-3, freq_cm1=2000.0, temperature_K=100.0,
+            seed=4,
+        ).astype(jnp.float32)
+        ff = ForceField.create(
+            snap, coupling=1e-3, pair_mode=mode, r_cut=12.0,
+            pppm_mesh=(8, 8, 8), dtype=jnp.float32,
+        )
+        methods = resolve_methods(
+            snap, (MethodSpec(kind="nve", group="all"),), ff.l_typeid
+        )
+        step = jax.jit(make_step_fn(ff, methods))
+        state = init_state(snap, ff, dt=10.0, seed=1)
+        state, obs = run_steps(step, state, 40)
+        assert float(np.asarray(obs["cell_overflow"]).max()) == 0.0
+        traj[mode] = np.asarray(state.position)
+    dev = np.abs(traj["zcol"] - traj["cell"]).max()
+    assert dev < 1e-3, dev
