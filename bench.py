@@ -122,6 +122,10 @@ def bench_replicas(n_rep=8):
 def main():
     import jax
 
+    from cavmd_tpu.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     steps_per_sec, snap = bench_flagship()
 
     detail = {

@@ -1003,6 +1003,9 @@ def build_parser():
 
 def main(argv=None):
     """Parity: reference main() (05_advanced_run.py:1441-1632)."""
+    from cavmd_tpu.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
 
     print("Advanced Cavity MD Experiment Runner (cavmd_tpu)")

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -265,12 +266,13 @@ def make_fused_pair_pallas(pack: PallasPairPack, kappa, coulomb_rcut, tile=128,
 class CellPallasPack(NamedTuple):
     """Static per-particle rows + expansion tables for the cell kernel."""
 
-    static_rows: jnp.ndarray  # (N+1, R-3): q, id, one-hots, exclusion ids
+    static_rows: jnp.ndarray  # (N+1, R-3): q, id, param rows, exclusion ids
     eps_terms: tuple  # ((t, u, eps_tu), ...) nonzero type-pair entries
     sig2_terms: tuple
-    n_types_active: int
+    n_types_active: int  # count of per-particle param rows (one-hots OR g_k)
     max_excl: int
     r_pad: int  # padded row count R
+    lam: tuple = None  # factored LJ: eps(i,j) = sum_k lam_k g_k[i] g_k[j]
 
     @staticmethod
     def create(typeid, charge, eps_table, sigma_table, exclusions, n):
@@ -278,7 +280,24 @@ class CellPallasPack(NamedTuple):
 
         ``exclusions``: (N+1, max_excl) int table (sentinel n).
         Active types = types with any nonzero eps row/col (the photon and
-        ghost types are inert and need no one-hot row).
+        ghost types are inert and need no param row).
+
+        LJ type-pair parameters ride per-particle rows in one of two
+        exact representations:
+
+        - **factored** (``lam`` set): simultaneous congruence
+          diagonalization of the two symmetric active-type tables. With
+          S = chol L, M = L^-1 E L^-T = Q diag(lam) Q^T, G = L Q:
+          G G^T = S (sig^2 table) and G diag(lam) G^T = E (eps table),
+          so per-particle scalars g_k[i] = G[type_i, k] reconstruct BOTH
+          tables from shared products m_k = g_k[i] g_k[j]:
+          sig2(i,j) = sum_k m_k and eps(i,j) = sum_k lam_k m_k — 5 VPU
+          ops per pair slot instead of 3 per nonzero type-pair entry
+          (12 at two types), at the same row count as the one-hots.
+        - **one-hot** (``lam`` None): fallback when the sig^2 table is
+          not positive definite on the active types (e.g. a zero-sigma
+          pair) or the f32-rounded factorization fails to reproduce the
+          tables to ~1e-6 relative.
         """
         eps_np = np.asarray(eps_table, np.float64)
         sig_np = np.asarray(sigma_table, np.float64)
@@ -294,15 +313,24 @@ class CellPallasPack(NamedTuple):
         r = 3 + 1 + 1 + ta + max_excl
         r_pad = r  # lane dim of Pj blocks handles its own padding
 
+        sig2 = sig_np * sig_np
+        e_act = eps_np[np.ix_(active, active)] if ta else np.zeros((0, 0))
+        s_act = sig2[np.ix_(active, active)] if ta else np.zeros((0, 0))
+        lam, g_cols = _factor_lj_tables(e_act, s_act)
+
         rows = np.zeros((n + 1, r - 3), np.float32)
         rows[:n, 0] = q_np[:n]
         rows[:, 1] = np.arange(n + 1, dtype=np.float32)  # id; sentinel = n
         for a, t in enumerate(active):
-            rows[:n, 2 + a] = (typeid_np == t).astype(np.float32)
+            sel = typeid_np == t
+            if lam is None:
+                rows[:n, 2 + a] = sel.astype(np.float32)
+            else:
+                for k in range(ta):
+                    rows[:n, 2 + k][sel] = g_cols[a, k]
         # exclusion partner ids (sentinel n matches nothing real)
         rows[:, 2 + ta:2 + ta + max_excl] = excl_np.astype(np.float32)
 
-        sig2 = sig_np * sig_np
         eps_terms, sig2_terms = [], []
         for a, t in enumerate(active):
             for b, u in enumerate(active):
@@ -316,14 +344,53 @@ class CellPallasPack(NamedTuple):
             n_types_active=ta,
             max_excl=max_excl,
             r_pad=r_pad,
+            lam=lam,
         )
+
+
+def _factor_lj_tables(e_act, s_act):
+    """Exact joint factorization of the (eps, sig^2) active-type tables.
+
+    Returns ``(lam, G)`` with ``G @ G.T == s_act`` and
+    ``G @ diag(lam) @ G.T == e_act``, or ``(None, None)`` when the
+    factored form is unavailable (sig^2 not PD) or loses accuracy after
+    f32 rounding of the per-particle factors.
+    """
+    ta = e_act.shape[0]
+    if ta == 0 or os.environ.get("CAVMD_LJ_FACTORED") == "0":
+        # kill switch for A/B benchmarks of the one-hot fallback
+        return None, None
+    try:
+        chol = np.linalg.cholesky(s_act)
+    except np.linalg.LinAlgError:
+        return None, None
+    m_mat = np.linalg.solve(chol, np.linalg.solve(chol, e_act).T).T
+    lam_v, q_mat = np.linalg.eigh(0.5 * (m_mat + m_mat.T))
+    g_cols = chol @ q_mat
+    scale_s = np.abs(s_act).max() or 1.0
+    scale_e = np.abs(e_act).max() or 1.0
+    # cancellation headroom: a near-singular S yields huge |lam| whose
+    # terms cancel — exact in f64 but catastrophic in the kernel's f32
+    # accumulation. Reject before the roundoff check even bothers.
+    if np.abs(lam_v).max() * scale_s > 1e3 * scale_e:
+        return None, None
+    # reconstruct exactly the way the kernel will: f32 factors, f32
+    # eigenvalues, f32 products and sums
+    g32 = g_cols.astype(np.float32)
+    lam32 = lam_v.astype(np.float32)
+    s_rec = (g32 @ g32.T).astype(np.float64)
+    e_rec = (g32 @ np.diag(lam32) @ g32.T).astype(np.float64)
+    if (np.abs(s_rec - s_act).max() > 1e-6 * scale_s
+            or np.abs(e_rec - e_act).max() > 1e-6 * scale_e):
+        return None, None
+    return tuple(float(v) for v in lam_v), g_cols
 
 
 jax.tree_util.register_pytree_node(
     CellPallasPack,
     lambda p: ((p.static_rows,),
                (p.eps_terms, p.sig2_terms, p.n_types_active, p.max_excl,
-                p.r_pad)),
+                p.r_pad, p.lam)),
     lambda aux, c: CellPallasPack(c[0], *aux),
 )
 
@@ -384,13 +451,21 @@ def _fused_tile(pi, jrow, scal_ref, pack: "CellPallasPack", rc2, wrap=True,
 
     r2_safe = r2 + (1.0 - jnp.minimum(valid, 1.0))
 
-    # per-pair LJ parameters by type-pair expansion (exact: one-hots)
+    # per-pair LJ parameters from per-particle rows (both exact):
+    # factored (shared products m_k reconstruct sig2 AND eps — see
+    # CellPallasPack.create) or the one-hot type-pair expansion fallback
     eps = None
     s2 = None
-    for (a, b, v), (_, _, s2v) in zip(pack.eps_terms, pack.sig2_terms):
-        h = icol(5 + a) * jrow(5 + b)
-        eps = v * h if eps is None else eps + v * h
-        s2 = s2v * h if s2 is None else s2 + s2v * h
+    if pack.lam is not None:
+        for k, lam_k in enumerate(pack.lam):
+            m = icol(5 + k) * jrow(5 + k)
+            s2 = m if s2 is None else s2 + m
+            eps = lam_k * m if eps is None else eps + lam_k * m
+    else:
+        for (a, b, v), (_, _, s2v) in zip(pack.eps_terms, pack.sig2_terms):
+            h = icol(5 + a) * jrow(5 + b)
+            eps = v * h if eps is None else eps + v * h
+            s2 = s2v * h if s2 is None else s2 + s2v * h
     if eps is None:
         eps = jnp.zeros_like(r2)
         s2 = jnp.zeros_like(r2)
@@ -729,8 +804,8 @@ def _zcol_kernel(pi_ref, pj_ref, hull_ref, scal_ref, out_ref, acc_ref, *,
     one all-sentinel PARKING block appended at index NB (far coordinates,
     id = n: every pair against it fails the validity mask). The halo is
     resident across the column's i-block steps (the index map pins it
-    per column). ``hull_ref`` (SMEM): (1, NIB, 3) per-i-block TWO-RUN
-    hull ``(s1, c1, s2)``: the z-sorted blocks whose live z-range can
+    per column). ``hull_ref`` (SMEM): (1, NIB, 4) per-i-block TWO-RUN
+    hull ``(s1, c1, s2, count)``: the z-sorted blocks whose live z-range can
     reach this i-block form at most two maximal runs in linear block
     order — one in the common case, two when the window wraps the
     periodic z seam (the halo's sentinel tail sits between the high-z

@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cavmd_tpu.utils.jitcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def main():
     import argparse

@@ -276,3 +276,82 @@ def test_forcefield_zcol_mode_trajectory():
         traj[mode] = np.asarray(state.position)
     dev = np.abs(traj["zcol"] - traj["cell"]).max()
     assert dev < 1e-3, dev
+
+
+def test_lj_factorization_exact_and_fallback():
+    """The joint congruence factorization (CellPallasPack round 3) must
+    reproduce BOTH active-type tables essentially exactly for the
+    benchmark parameters, and must fall back to one-hot rows when the
+    sig^2 table is not positive definite."""
+    from cavmd_tpu.core.system import LJ_PARAMS
+    from cavmd_tpu.ops.pallas_kernels import _factor_lj_tables
+
+    e_oo = LJ_PARAMS[("O", "O")]["epsilon"]
+    e_nn = LJ_PARAMS[("N", "N")]["epsilon"]
+    e_no = LJ_PARAMS[("N", "O")]["epsilon"]
+    s_oo = LJ_PARAMS[("O", "O")]["sigma"] ** 2
+    s_nn = LJ_PARAMS[("N", "N")]["sigma"] ** 2
+    s_no = LJ_PARAMS[("N", "O")]["sigma"] ** 2
+    E = np.array([[e_oo, e_no], [e_no, e_nn]])
+    S = np.array([[s_oo, s_no], [s_no, s_nn]])
+    lam, G = _factor_lj_tables(E, S)
+    assert lam is not None
+    G32 = G.astype(np.float32).astype(np.float64)
+    np.testing.assert_allclose(G32 @ G32.T, S, atol=1e-6 * S.max())
+    np.testing.assert_allclose(G32 @ np.diag(lam) @ G32.T, E,
+                               atol=1e-6 * E.max())
+
+    # rank-deficient sig^2 (all sigmas equal -> S is rank 1): no Cholesky,
+    # the pack must fall back to the exact one-hot representation
+    S_sing = np.full((2, 2), 30.0)
+    lam_s, _ = _factor_lj_tables(E, S_sing)
+    assert lam_s is None
+
+
+def test_cell_kernel_factored_matches_onehot():
+    """pair_mode='cell' Pallas kernel: the factored LJ rows must agree
+    with the one-hot type-pair expansion to f32 roundoff on the same
+    cell list (identical pair set, reconstructed parameters exact to
+    ~1e-7 relative)."""
+    from cavmd_tpu.ops import pallas_kernels as pk
+    from cavmd_tpu.ops.neighbor import CellListConfig, build_cell_list
+
+    snap = make_diatomic_system(60, box_L=40.0, temperature_K=100.0, seed=3)
+    snap = add_cavity_particle(
+        snap, coupling=1e-3, freq_cm1=2000.0, temperature_K=100.0, seed=4
+    ).astype(jnp.float32)
+    ff = ForceField.create(
+        snap, coupling=1e-3, pair_mode="cell", r_cut=12.0,
+        pppm_mesh=(8, 8, 8), dtype=jnp.float32,
+    )
+    pack_f = ff.cell_pallas_pack
+    assert pack_f.lam is not None, "benchmark tables must factorize"
+    # rebuild the pack with the factorization disabled
+    import os as _os
+
+    _os.environ["CAVMD_LJ_FACTORED"] = "0"
+    try:
+        ff_1h = ForceField.create(
+            snap, coupling=1e-3, pair_mode="cell", r_cut=12.0,
+            pppm_mesh=(8, 8, 8), dtype=jnp.float32,
+        )
+    finally:
+        del _os.environ["CAVMD_LJ_FACTORED"]
+    pack_1h = ff_1h.cell_pallas_pack
+    assert pack_1h.lam is None
+
+    cfg = CellListConfig(*ff.cell_cfg)
+    clist = build_cell_list(snap.position, snap.box_L, cfg, ff.cell_neighbors)
+    f_f, elj_f, eew_f = pk.fused_cell_cols_pallas(
+        snap.position, snap.box_L, clist, cfg, pack_f, ff.kappa,
+        interpret=True,
+    )
+    f_1, elj_1, eew_1 = pk.fused_cell_cols_pallas(
+        snap.position, snap.box_L, clist, cfg, pack_1h, ff.kappa,
+        interpret=True,
+    )
+    scale = float(jnp.abs(f_1).max())
+    np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_1),
+                               atol=5e-6 * scale)
+    assert float(elj_f) == pytest.approx(float(elj_1), rel=2e-5)
+    assert float(eew_f) == pytest.approx(float(eew_1), rel=1e-6, abs=1e-10)
