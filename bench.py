@@ -26,16 +26,27 @@ import time
 BASELINE_STEPS_PER_SEC = 134.0  # reference CPU TPS (BASELINE.md)
 
 
-def _time_chunks(runner, state, chunk, n_chunks, block):
+def _time_chunks(runner, state, chunk, n_chunks, block, check=None):
+    """``check(obs)`` (optional) runs on the warmup chunk AND every timed
+    chunk — an overflow in any of them (not just the last) would mean the
+    timed trajectory silently dropped pairs."""
     import jax
 
     state, obs = runner(state, chunk)  # warmup / compile
     jax.block_until_ready(block(state))
+    if check is not None:
+        check(obs)
     t0 = time.perf_counter()
+    all_obs = []
     for _ in range(n_chunks):
         state, obs = runner(state, chunk)
+        if check is not None:
+            all_obs.append(obs)
     jax.block_until_ready(block(state))
-    return time.perf_counter() - t0, state, obs
+    wall = time.perf_counter() - t0
+    for o in all_obs:
+        check(o)
+    return wall, state, obs
 
 
 def bench_flagship():
@@ -56,44 +67,24 @@ def bench_flagship():
 
 def bench_large_n(n_mol=50_000):
     """N=100,001 cell-mode full step: ms/step (the scaling stress test;
-    the reference GPU kernel caps N < 100k, CavityForceComputeGPU.cu:395)."""
-    import jax
-    import jax.numpy as jnp
+    the reference GPU kernel caps N < 100k, CavityForceComputeGPU.cu:395).
+    Workload definition shared with scripts/bench_large_n.py."""
     import numpy as np
 
-    from cavmd_tpu.core import PhysicalConstants as PC
-    from cavmd_tpu.core import add_cavity_particle, make_diatomic_system
-    from cavmd_tpu.core.system import reference_box_for
-    from cavmd_tpu.integrate import (
-        ForceField, MethodSpec, init_state, make_step_fn, resolve_methods,
-        run_steps,
-    )
+    from cavmd_tpu.drivers.workloads import build_large_n
 
-    snap = make_diatomic_system(
-        n_mol, box_L=reference_box_for(n_mol), temperature_K=100.0,
-        seed=0, dtype=np.float64,
-    )
-    snap = add_cavity_particle(snap, coupling=1e-3, freq_cm1=2000.0,
-                               temperature_K=100.0, seed=1)
-    snap = snap.astype(jnp.float32)
-    ff = ForceField.create(snap, coupling=1e-3, freq_cm1=2000.0,
-                           dtype=jnp.float32, pair_mode="cell")
-    kT = PC.kT_from_kelvin(100.0)
-    methods = resolve_methods(snap, (
-        MethodSpec(kind="bussi", group="molecular", kT=kT,
-                   tau=PC.ps_to_atomic_units(5.0)),
-        MethodSpec(kind="langevin", group="cavity", kT=kT,
-                   gamma=PC.gamma_from_tau_ps(5.0)),
-    ), ff.l_typeid)
-    step = make_step_fn(ff, methods)
-    state = init_state(snap, ff, dt=PC.fs_to_atomic_units(0.25), seed=7)
-    runner = jax.jit(lambda s, n: run_steps(step, s, n), static_argnums=(1,))
+    runner, state, snap, _ = build_large_n(n_mol)
     chunk, n_chunks = 100, 3
     wall, state, obs = _time_chunks(
-        runner, state, chunk, n_chunks, lambda s: s.position
+        runner, state, chunk, n_chunks, lambda s: s.position,
+        check=lambda o: _assert_no_overflow(np, o),
     )
-    assert not np.asarray(obs["cell_overflow"]).any()
     return wall / (n_chunks * chunk) * 1e3, snap.N
+
+
+def _assert_no_overflow(np, obs):
+    assert not np.asarray(obs["cell_overflow"]).any(), \
+        "cell-list overflow during the benchmark window"
 
 
 def bench_replicas(n_rep=8):

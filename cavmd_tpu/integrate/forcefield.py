@@ -122,6 +122,10 @@ class ForceField:
     # enables the reshape-strided bond/exclusion paths (ops/bonds.py)
     bonds_strided: bool = False
     n_bonds: int = 0
+    # zcol kernel static visit window (blocks per i-block): planned at
+    # create time so overflow recovery can GROW it — doubling the bucket
+    # cap alone cannot widen a too-narrow hull window
+    zcol_W: int = None
 
     def build_cells(self, position, box_L):
         """Bin particles into cell buckets (cell mode only) — exposed so the
@@ -211,7 +215,7 @@ class ForceField:
 
                 f, e_lj, e_ew, win_ovf = fused_zsort_cols_pallas(
                     position, box_L, clist, cfg, self.cell_pallas_pack,
-                    self.kappa,
+                    self.kappa, W=self.zcol_W,
                     interpret=jax.default_backend() != "tpu",
                 )
                 forces = forces + f
@@ -496,6 +500,12 @@ class ForceField:
                 if cell_cap is not None:
                     # column capacity must stay a j-block multiple
                     cfg = cfg._replace(cap=((cell_cap + 127) // 128) * 128)
+                from cavmd_tpu.ops.pallas_kernels import plan_zcol_window
+
+                cell_fields["zcol_W"] = plan_zcol_window(
+                    snapshot.N, cfg.ncells[0] * cfg.ncells[1],
+                    cfg.ncells[:2],
+                )
             else:
                 cfg = plan_cells(
                     np.asarray(snapshot.box_L), r_cut, skin=cell_skin,
@@ -531,8 +541,12 @@ class ForceField:
                     snapshot.typeid, snapshot.charge, len(types)
                 ),
                 cell_exclusions=jnp.asarray(excl_np),
-                cell_neighbors=jnp.asarray(
-                    neighbor_cell_table(cfg.ncells), jnp.int32
+                # zcol builds its own merged 9-column halo; the 27-cell
+                # bucket stencil is meaningless on the (cx, cy, 1) grid
+                cell_neighbors=(
+                    None if pair_mode == "zcol" else jnp.asarray(
+                        neighbor_cell_table(cfg.ncells), jnp.int32
+                    )
                 ),
                 pair_inert=jnp.asarray(inert),
                 cell_pallas_pack=cell_pallas,
@@ -609,5 +623,6 @@ jax.tree_util.register_dataclass(
         "enable_cavity", "enable_coulomb", "enable_lj", "enable_bonds",
         "pair_mode", "cell_cfg", "cell_block", "n_types", "custom_forces",
         "uniform_rcut", "ghost_typeid", "bonds_strided", "n_bonds",
+        "zcol_W",
     ],
 )

@@ -131,6 +131,45 @@ def neighbor_cell_table(ncells) -> np.ndarray:
     return out
 
 
+def _rank_and_bucket(order, sorted_bin, n, n_bins, cap):
+    """Shared bin-and-rank machinery of both bucket layouts.
+
+    ``order``: (N,) particle ids in bin-sorted order; ``sorted_bin``:
+    (N,) their bin ids (ascending). Rank-within-bin comes from a
+    segment-start running maximum — O(N) scan, no searchsorted (whose
+    binary search is ~17 rounds of serialized gathers, 12+ ms at N=100k,
+    measured v5e).
+
+    Returns ``(bucket_idx (n_bins, cap), overflow, slot_of)``. The
+    inverse map ``slot_of``: particle -> flat slot; a particle owns a
+    slot only if ``bucket_idx`` points back at it (under overflow,
+    clamped ranks collide on slot cap-1 and the last writer wins — the
+    displaced occupants map to the dump slot so a force gather reads
+    zeros rather than the winner's force).
+    """
+    iota = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_bin[1:] != sorted_bin[:-1]]
+    )
+    first_of_bin = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, iota, 0)
+    )
+    rank = iota - first_of_bin
+
+    overflow = jnp.any(rank >= cap)
+    rank_c = jnp.minimum(rank, cap - 1)
+
+    bucket_idx = jnp.full((n_bins * cap,), n, jnp.int32)
+    flat = sorted_bin * cap + rank_c
+    bucket_idx = bucket_idx.at[flat].set(order)
+    dump = jnp.asarray(n_bins * cap, jnp.int32)
+    owns = bucket_idx[flat] == order
+    slot_of = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.where(owns, flat, dump)
+    )
+    return bucket_idx.reshape(n_bins, cap), overflow, slot_of
+
+
 def build_cell_list(position, box_L, cfg: CellListConfig,
                     neighbor_cells) -> CellList:
     """Bin particles into fixed-capacity buckets (pure JAX, jit-safe)."""
@@ -148,10 +187,7 @@ def build_cell_list(position, box_L, cfg: CellListConfig,
 
     # Sort a single packed key (cell << bits | index) when it fits int32 —
     # one fused sort instead of a key-value argsort + gather. The XLA TPU
-    # sort itself is cheap (1.8 ms at N=100k, measured); what was NOT cheap
-    # is the searchsorted this replaces: its binary search is ~17 rounds of
-    # serialized gathers (12+ ms at N=100k, measured v5e). Rank-within-cell
-    # comes from a segment-start running maximum instead — O(N) scan.
+    # sort itself is cheap (1.8 ms at N=100k, measured).
     import numpy as np
 
     bits = max(int(np.ceil(np.log2(max(n + 1, 2)))), 1)  # static
@@ -164,32 +200,11 @@ def build_cell_list(position, box_L, cfg: CellListConfig,
         order = jnp.argsort(cell).astype(jnp.int32)
         sorted_cell = cell[order]
 
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sorted_cell[1:] != sorted_cell[:-1]]
-    )
-    first_of_cell = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, iota, 0)
-    )
-    rank = iota - first_of_cell
-
-    overflow = jnp.any(rank >= cfg.cap)
-    rank_c = jnp.minimum(rank, cfg.cap - 1)
-
-    bucket_idx = jnp.full((cfg.total_cells * cfg.cap,), n, jnp.int32)
-    flat = sorted_cell * cfg.cap + rank_c
-    bucket_idx = bucket_idx.at[flat].set(order)
-    # inverse map: particle -> flat slot; a particle owns a slot only if
-    # bucket_idx points back at it (under overflow, clamped ranks collide
-    # on slot cap-1 and the last writer wins — the displaced occupants
-    # must map to the dump slot so a force gather reads zeros rather than
-    # the winner's force)
-    dump = jnp.asarray(cfg.total_cells * cfg.cap, jnp.int32)
-    owns = bucket_idx[flat] == order
-    slot_of = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.where(owns, flat, dump)
+    bucket_idx, overflow, slot_of = _rank_and_bucket(
+        order, sorted_cell, n, cfg.total_cells, cfg.cap
     )
     return CellList(
-        bucket_idx=bucket_idx.reshape(cfg.total_cells, cfg.cap),
+        bucket_idx=bucket_idx,
         overflow=overflow,
         neighbor_cells=jnp.asarray(neighbor_cells, jnp.int32),
         slot_of=slot_of,
@@ -255,28 +270,14 @@ def build_zcol_list(position, box_L, cfg: CellListConfig,
         0, 16383,
     )
     assert XY * 16384 <= 2**31 - 1, "too many columns for the packed key"
+    # argsort (not the packed single-sort): the z-quantized key already
+    # spends 14 of the 31 key bits, leaving no room for the index field
+    # at large N in int32
     order = jnp.argsort(col * 16384 + zq, stable=True).astype(jnp.int32)
     sorted_col = col[order]
 
-    iota = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sorted_col[1:] != sorted_col[:-1]]
-    )
-    first_of_col = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, iota, 0)
-    )
-    rank = iota - first_of_col
-
-    overflow = jnp.any(rank >= cfg.cap)
-    rank_c = jnp.minimum(rank, cfg.cap - 1)
-
-    bucket_idx = jnp.full((XY * cfg.cap,), n, jnp.int32)
-    flat = sorted_col * cfg.cap + rank_c
-    bucket_idx = bucket_idx.at[flat].set(order)
-    dump = jnp.asarray(XY * cfg.cap, jnp.int32)
-    owns = bucket_idx[flat] == order
-    slot_of = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.where(owns, flat, dump)
+    bucket_idx, overflow, slot_of = _rank_and_bucket(
+        order, sorted_col, n, XY, cfg.cap
     )
 
     # normalized build-time coordinates: xy in the assigned column's
@@ -287,8 +288,6 @@ def build_zcol_list(position, box_L, cfg: CellListConfig,
     loc_xy = center + off_xy - box[:2] * jnp.round(off_xy / box[:2])
     loc_z = position[:, 2:3] - box[2] * jnp.round(position[:, 2:3] / box[2])
     local_anchor = jnp.concatenate([loc_xy, loc_z], axis=1)
-
-    bucket_idx = bucket_idx.reshape(XY, cfg.cap)
 
     # merged candidate halo: concatenate the 9 xy-neighbor columns' slots
     # and re-sort by quantized z (stable; empty slots keyed past every

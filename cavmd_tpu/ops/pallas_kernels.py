@@ -887,6 +887,23 @@ def _zcol_kernel(pi_ref, pj_ref, hull_ref, scal_ref, out_ref, acc_ref, *,
                                                  keepdims=True)
 
 
+def plan_zcol_window(n, n_columns, ncells_xy, bi=16):
+    """Static visit-window width for :func:`fused_zsort_cols_pallas`.
+
+    Mean column occupancy x the 2 r_cut z-fraction x 9 columns, plus the
+    i-block's own z-span (~9 bi slots), with a +30% density margin.
+    ``Lz >= min(cx, cy) * column_width >= min(cx, cy) * r_cut`` bounds
+    the z-fraction without reading the (traced) box. +3 blocks: measured
+    at N=66k the t=0 max hull hit est+2 exactly (local z-density
+    fluctuations), so +2 left zero drift headroom and a 500-step run
+    tripped the window-overflow flag. Shared by ``ForceField.create``
+    (which stores the planned W so overflow recovery can grow it) and
+    the kernel's ``W=None`` default.
+    """
+    est = 9 * bi + 1.3 * 18.0 * (n / n_columns) / min(ncells_xy)
+    return int(np.ceil(est / 128.0)) + 3
+
+
 def fused_zsort_cols_pallas(position, box_L, clist, cfg,
                             pack: CellPallasPack, kappa, interpret=False,
                             bi=16, W=None, pred=True):
@@ -1020,11 +1037,7 @@ def fused_zsort_cols_pallas(position, box_L, clist, cfg,
     # channel below (triggering the driver's failure-detection path)
     # instead.
     if W is None:
-        est = 9 * bi + 1.3 * 18.0 * (n / XY) / min(cx, cy)
-        # +3 blocks: measured at N=66k the t=0 max hull hit est+2 exactly
-        # (local z-density fluctuations), so +2 left zero drift headroom
-        # and a 500-step run tripped the window-overflow flag
-        W = int(np.ceil(est / 128.0)) + 3
+        W = plan_zcol_window(n, XY, (cx, cy), bi=bi)
     W = max(1, min(int(W), NB))
     win_overflow = jnp.max(count) > W
 

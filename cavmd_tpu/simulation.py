@@ -119,17 +119,20 @@ class Simulation:
             )
 
     def _grow_cell_capacity(self):
-        """Re-plan the cell list with 1.5x bucket capacity (overflow
+        """Re-plan the cell list with doubled bucket capacity (overflow
         recovery: a production engine re-plans and retries instead of
-        aborting). The caller must refresh any carried state.cell_list to
-        the new shapes."""
+        aborting). In zcol mode the kernel's static visit window grows
+        with it — its overflow shares the detection channel, and a wider
+        hull is not fixed by more bucket slots alone. The caller must
+        refresh any carried state.cell_list to the new shapes."""
         import dataclasses
 
         ncells, cap, r_cut, skin = self.ff.cell_cfg
         new_cap = max(cap + 4, cap * 2)
-        self.ff = dataclasses.replace(
-            self.ff, cell_cfg=(ncells, new_cap, r_cut, skin)
-        )
+        updates = dict(cell_cfg=(ncells, new_cap, r_cut, skin))
+        if self.ff.pair_mode == "zcol" and self.ff.zcol_W is not None:
+            updates["zcol_W"] = self.ff.zcol_W + 2
+        self.ff = dataclasses.replace(self.ff, **updates)
         self._build_runner()
         return new_cap
 

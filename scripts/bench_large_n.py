@@ -40,25 +40,14 @@ def main():
                     help="bucket-tile Pallas kernel (cell) or the z-sorted "
                          "column kernel (zcol, round 3)")
     ap.add_argument("--bi", type=int, default=None,
-                    help="zcol i-block rows (sweep knob; default kernel's)")
+                    help="zcol i-block rows (sweep knob; default kernel's). "
+                         "The planned visit window W assumes the default "
+                         "bi — a custom bi that overflows it trips the "
+                         "window-overflow channel rather than dropping "
+                         "pairs silently")
     cli = ap.parse_args()
     n_mol = cli.n_molecules
 
-    from cavmd_tpu.core import PhysicalConstants as PC
-    from cavmd_tpu.core import add_cavity_particle, make_diatomic_system
-    from cavmd_tpu.core.system import reference_box_for
-    from cavmd_tpu.integrate import (
-        ForceField, MethodSpec, init_state, make_step_fn, resolve_methods,
-        run_steps,
-    )
-
-    # constant density relative to the 250-molecule reference scene
-    box_L = reference_box_for(n_mol)
-    snap = make_diatomic_system(n_mol, box_L=box_L, temperature_K=100.0,
-                                seed=0, dtype=np.float64)
-    snap = add_cavity_particle(snap, coupling=1e-3, freq_cm1=2000.0,
-                               temperature_K=100.0, seed=1)
-    snap = snap.astype(jnp.float32)
     if cli.bi is not None:
         import functools as _ft
 
@@ -70,20 +59,11 @@ def main():
             else _pk.fused_zsort_cols_pallas,
             bi=cli.bi,
         )
-    ff = ForceField.create(snap, coupling=1e-3, freq_cm1=2000.0,
-                           dtype=jnp.float32, pair_mode=cli.pair_mode,
-                           pppm_mesh=(cli.mesh,) * 3)
-    kT = PC.kT_from_kelvin(100.0)
-    methods = resolve_methods(snap, (
-        MethodSpec(kind="bussi", group="molecular", kT=kT,
-                   tau=PC.ps_to_atomic_units(5.0)),
-        MethodSpec(kind="langevin", group="cavity", kT=kT,
-                   gamma=PC.gamma_from_tau_ps(5.0)),
-    ), ff.l_typeid)
-    step = make_step_fn(ff, methods)
-    state = init_state(snap, ff, dt=PC.fs_to_atomic_units(0.25), seed=7)
+    from cavmd_tpu.drivers.workloads import build_large_n
 
-    runner = jax.jit(lambda s, n: run_steps(step, s, n), static_argnums=(1,))
+    runner, state, snap, ff = build_large_n(
+        n_mol, mesh=(cli.mesh,) * 3, pair_mode=cli.pair_mode,
+    )
     chunk = 100
     state, _ = runner(state, chunk)
     jax.block_until_ready(state.position)
@@ -136,27 +116,41 @@ def main():
         zl = jax.jit(lambda p: build_zcol_list(p, snap.box_L, cfg))(
             state.position
         )
-        bi = cli.bi or 16
         occ = np.asarray(jnp.sum(zl.bucket_idx < snap.N, axis=1))
         print(f"zcol: XY={C} columns, cap={cap}, occupancy "
               f"mean {occ.mean():.1f} max {occ.max()} "
               f"(cap margin {cap / max(occ.mean(), 1):.2f}x)")
-        lanes = None
         pair_slots = None
     else:
+        # two-tier-aware slot count: tier 1 (rows [0:s1]) runs for every
+        # cell; tier 2 ([s1:cap]) only where the occupancy predicate
+        # fires (mirror of the s1 default in fused_cell_cols_pallas)
+        from cavmd_tpu.ops.neighbor import build_cell_list
+
         lanes = ((27 * cap + 127) // 128) * 128
-        pair_slots = C * cap * lanes  # padded tile lanes actually computed
+        cl = jax.jit(
+            lambda p: build_cell_list(p, snap.box_L, cfg, ff.cell_neighbors)
+        )(state.position)
+        occ = np.asarray(jnp.sum(cl.bucket_idx < snap.N, axis=1))
+        mean_occ = snap.N / max(C, 1)
+        s1 = max(8, min(int((mean_occ + np.sqrt(mean_occ)) // 8) * 8, cap))
+        tier2_cells = int((occ > s1).sum())
+        pair_slots = lanes * (C * s1 + tier2_cells * (cap - s1))
+        print(f"two-tier tile: s1={s1}, cap={cap}, tier-2 cells "
+              f"{tier2_cells}/{C} ({100.0 * tier2_cells / C:.0f}%)")
     if pair_slots is not None:
-        ops_per_slot = 65  # counted from _fused_tile: min-image 15, masks
-        # 10, LJ 14, erfc poly 14, exp/rsqrt ~6, force+energy rows 6
+        ops_per_slot = 50  # counted from _fused_tile (wrap=False, factored
+        # LJ rows): dx/r2 8, masks+r2_safe 12, LJ params 5, rsqrt chain 3,
+        # s6/s12/shift 9, e/f_lj 5, qq/erfc poly+exp ~16, e/f_ew 9 — minus
+        # shared subexpressions
         kernel_frac = 0.55  # tile share of the step (xprof op profile)
         slot_rate = pair_slots / (ms * 1e-3 * kernel_frac)
         print(
-            f"tile pass: {pair_slots/1e6:.0f}M pair-slots/step, "
+            f"tile pass: {pair_slots/1e6:.0f}M computed pair-slots/step, "
             f"~{slot_rate/1e9:.1f}G slots/s sustained, "
             f"~{slot_rate*ops_per_slot/1e12:.2f}T f32 VPU op/s "
-            f"(v5e VPU order-of-peak ~4-8T/s incl. FMA -> ~25-50% "
-            f"utilization; HBM-roofline share <2%, i.e. compute-bound)"
+            f"(v5e VPU order-of-peak ~4-8T/s incl. FMA; "
+            f"HBM-roofline share <2%, i.e. compute-bound)"
         )
 
     if cli.profile:

@@ -211,9 +211,17 @@ def test_zsort_cols_kernel_matches_xla():
     zlist = build_zcol_list(snap.position, snap.box_L, zcfg)
     assert not bool(zlist.overflow)
 
+    # drift schedule honoring the carried-list validity contract: TOTAL
+    # per-particle displacement since the build stays < skin/2 (beyond
+    # that the rebuild trigger fires in production and the 9-column halo
+    # coverage guarantee no longer holds — an earlier version accumulated
+    # 0.49 skin PER trial and passed only by luck of the seed)
     rng = np.random.default_rng(0)
-    pos = snap.position
+    pos0 = snap.position
+    direction = rng.uniform(-1, 1, size=(snap.N, 3)).astype(np.float32)
+    direction *= 0.49 * zcfg.skin / np.abs(direction).max()
     box = np.asarray(snap.box_L)
+    pos = pos0
     for trial in range(3):
         # reference at the CURRENT positions via a fresh bucket list
         clist = build_cell_list(pos, snap.box_L, cfg, ff.cell_neighbors)
@@ -236,11 +244,11 @@ def test_zsort_cols_kernel_matches_xla():
         assert float(eew_z) == pytest.approx(
             float(eew_ref), rel=1e-3, abs=1e-9
         )
-        # drift by up to skin/2 and re-wrap into the box (the zlist stays
-        # anchored at the build positions, as during carried-list steps)
-        delta = rng.uniform(-1, 1, size=(snap.N, 3)).astype(np.float32)
-        delta *= 0.49 * zcfg.skin / np.abs(delta).max()
-        pos = pos + jnp.asarray(delta)
+        # advance the TOTAL drift to (trial+1)/3 x 0.49 skin from the
+        # build positions and re-wrap into the box (the zlist stays
+        # anchored at the build positions, as during carried-list steps;
+        # re-wrapping exercises the drift-continuous local coordinates)
+        pos = pos0 + jnp.asarray(direction) * ((trial + 1) / 3.0)
         pos = pos - jnp.asarray(box) * jnp.round(pos / jnp.asarray(box))
 
 
