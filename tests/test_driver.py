@@ -317,3 +317,24 @@ def test_resolved_box_constant_density():
     assert 2000 / resolved_box(args8) ** 3 == pytest.approx(rho_ref)
     explicit = p.parse_args(["--n-molecules", "2000", "--box-L", "50.0"])
     assert resolved_box(explicit) == 50.0
+
+
+def test_bench_workload_builder_runs():
+    """The shared large-N workload builder (cavmd_tpu/drivers/workloads.py)
+    behind bench.py's harness record and scripts/bench_large_n.py must
+    run end-to-end at a small size: a chunk advances time, reports the
+    overflow channel, and conserves universe energy to the f32 band."""
+    import numpy as np
+
+    from cavmd_tpu.drivers.workloads import build_large_n
+    from cavmd_tpu.integrate import universe_energy
+
+    runner, state, snap, ff = build_large_n(100)
+    assert snap.N == 201
+    assert ff.pair_mode == "cell"
+    state, obs = runner(state, 50)
+    assert not np.asarray(obs["cell_overflow"]).any()
+    assert float(state.time_au) > 0
+    eu = np.asarray(universe_energy(obs))
+    assert eu.shape == (50,)
+    assert np.ptp(eu) < 5e-3  # f32 band at this size/dt
