@@ -5,8 +5,9 @@ MXU-friendly but materializes the Khatri-Rao factor ``B = Sy (x) Sz`` of
 shape (N, Ky*Kz) to HBM — 410 MB/step at N=100k, ~2.5 ms of pure
 bandwidth (measured v5e, xprof). This kernel keeps the whole pipeline in
 VMEM: per chunk of particles it evaluates the B-spline stencils directly
-on (chunk, K) lanes, assembles ``B`` in scratch, and accumulates the
-(Kx, Ky*Kz) grid with one MXU contraction per chunk. HBM traffic drops
+on (chunk, K) lanes, expands them to the (chunk, Ky*Kz) Khatri-Rao
+layout with exact one-hot MXU dots (``_expand_tables``), and accumulates
+the (Kx, Ky*Kz) grid with one contraction per chunk. HBM traffic drops
 to reading positions/charges once and writing the 128 KB grid.
 
 The backward pass (forces) is the analytic vjp — the same chunk pipeline
@@ -33,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -113,7 +115,42 @@ def _dot3(a_hi, a_lo, b_hi, b_lo, dims):
     return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
 
 
-def _spread_fwd_kernel(pos_ref, q_ref, scal_ref, out_ref, bh_ref, bl_ref, *,
+def _dot2(x_f32, e_bf16, dims):
+    """bf16x2 contraction of an f32 array against an EXACT bf16 operand
+    (the 0/1 expansion tables below): x ~ hi + lo to ~2^-17 relative, and
+    each product against a 0/1 entry is exact, so two DEFAULT passes give
+    the same error class as the kernel's bf16x3 dots (whose operands are
+    themselves only hi+lo-split to ~2^-17)."""
+    hi, lo = _split_bf16(x_f32)
+
+    def d(x):
+        return jax.lax.dot_general(
+            x, e_bf16, dims, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(hi) + d(lo)
+
+
+def _expand_tables(mesh):
+    """Static one-hot expansion tables for the Khatri-Rao assembly.
+
+    ``Ey (Ky, Ky*Kz)`` with ``Ey[y, m] = [m // Kz == y]`` and
+    ``Ez (Kz, Ky*Kz)`` with ``Ez[z, m] = [m %% Kz == z]``: one MXU dot
+    against them turns a (chunk, K) stencil into its (chunk, Ky*Kz)
+    broadcast layout — replacing the per-y loop of Kz-wide strided scratch
+    writes that dominated the kernel at K=32 (sub-128-lane masked
+    read-modify-writes on the (chunk, Ky*Kz) tile; measured — see
+    docs/performance.md). 0/1 entries are exact in bf16.
+    """
+    Ky, Kz = mesh[1], mesh[2]
+    m = np.arange(Ky * Kz)
+    ey = (m // Kz == np.arange(Ky)[:, None]).astype(np.float32)
+    ez = (m % Kz == np.arange(Kz)[:, None]).astype(np.float32)
+    return jnp.asarray(ey, jnp.bfloat16), jnp.asarray(ez, jnp.bfloat16)
+
+
+def _spread_fwd_kernel(pos_ref, q_ref, scal_ref, ey_ref, ez_ref, out_ref, *,
                        order, mesh, chunk):
     Kx, Ky, Kz = mesh
     i = pl.program_id(0)
@@ -123,17 +160,18 @@ def _spread_fwd_kernel(pos_ref, q_ref, scal_ref, out_ref, bh_ref, bl_ref, *,
     Sz, _ = _stencils(pos_ref[:, 2], Kz, scal_ref[0, 2], order)
     A = q_ref[:, 0:1] * Sx  # (chunk, Kx)
 
-    # Khatri-Rao factor B[n, y*Kz+z] = Sy[n,y] * Sz[n,z], assembled as Ky
-    # broadcast-FMA column writes (no (chunk, Ky, Kz) relayout), stored
-    # directly as its bf16 hi/lo halves
-    for y in range(Ky):
-        bh, bl = _split_bf16(Sy[:, y:y + 1] * Sz)
-        bh_ref[:, y * Kz:(y + 1) * Kz] = bh
-        bl_ref[:, y * Kz:(y + 1) * Kz] = bl
+    # Khatri-Rao factor B[n, y*Kz+z] = Sy[n,y] * Sz[n,z]: expand both
+    # stencils to full (chunk, Ky*Kz) lanes with one exact one-hot dot
+    # each, then one full-lane multiply — a pure register/MXU pipeline
+    # (the previous per-y strided-scratch assembly was the kernel's
+    # dominant cost at K=32: Ky sub-128-lane masked RMW writes per chunk)
+    dims = (((1,), (0,)), ((), ()))
+    B = _dot2(Sy, ey_ref[...], dims) * _dot2(Sz, ez_ref[...], dims)
+    bh, bl = _split_bf16(B)
 
     a_hi, a_lo = _split_bf16(A)
     contrib = _dot3(
-        a_hi, a_lo, bh_ref[...], bl_ref[...], (((0,), (0,)), ((), ()))
+        a_hi, a_lo, bh, bl, (((0,), (0,)), ((), ()))
     )  # (Kx, Ky*Kz)
 
     @pl.when(i == 0)
@@ -145,8 +183,8 @@ def _spread_fwd_kernel(pos_ref, q_ref, scal_ref, out_ref, bh_ref, bl_ref, *,
         out_ref[...] += contrib
 
 
-def _spread_bwd_kernel(pos_ref, q_ref, scal_ref, ct_ref, dpos_ref, bh_ref,
-                       bl_ref, *, order, mesh, chunk):
+def _spread_bwd_kernel(pos_ref, q_ref, scal_ref, ct_ref, ey_ref, ez_ref,
+                       dpos_ref, *, order, mesh, chunk):
     Kx, Ky, Kz = mesh
 
     Sx, dSx = _stencils(pos_ref[:, 0], Kx, scal_ref[0, 0], order)
@@ -155,29 +193,28 @@ def _spread_bwd_kernel(pos_ref, q_ref, scal_ref, ct_ref, dpos_ref, bh_ref,
     q = q_ref[:, 0:1]
     A = q * Sx
 
-    for y in range(Ky):
-        bh, bl = _split_bf16(Sy[:, y:y + 1] * Sz)
-        bh_ref[:, y * Kz:(y + 1) * Kz] = bh
-        bl_ref[:, y * Kz:(y + 1) * Kz] = bl
+    dims = (((1,), (0,)), ((), ()))
+    SyE = _dot2(Sy, ey_ref[...], dims)  # (chunk, Ky*Kz) broadcast layouts
+    SzE = _dot2(Sz, ez_ref[...], dims)
+    bh, bl = _split_bf16(SyE * SzE)
 
     ct_hi, ct_lo = _split_bf16(ct_ref[...])  # (Kx, Ky*Kz) grid cotangent
     # dA[n,x] = sum_m B[n,m] ct[x,m];  dB[n,m] = sum_x A[n,x] ct[x,m]
     dA = _dot3(
-        bh_ref[...], bl_ref[...], ct_hi, ct_lo, (((1,), (1,)), ((), ()))
+        bh, bl, ct_hi, ct_lo, (((1,), (1,)), ((), ()))
     )  # (chunk, Kx)
     a_hi, a_lo = _split_bf16(A)
     dB = _dot3(
         a_hi, a_lo, ct_hi, ct_lo, (((1,), (0,)), ((), ()))
     )  # (chunk, Ky*Kz)
 
-    # dSy[:, y] = sum_z dB[:, y*Kz+z] Sz[:, z];  dSz += dB_slice * Sy_col
-    gSz = jnp.zeros_like(Sz)
-    gSy_cols = []
-    for y in range(Ky):
-        sl = dB[:, y * Kz:(y + 1) * Kz]
-        gSy_cols.append(jnp.sum(sl * Sz, axis=1, keepdims=True))
-        gSz = gSz + sl * Sy[:, y:y + 1]
-    gSy = jnp.concatenate(gSy_cols, axis=1)  # (chunk, Ky)
+    # gSy[n,y] = sum_z dB[n,y*Kz+z] Sz[n,z] = (dB . SzE) @ Ey^T and
+    # gSz[n,z] = sum_y dB[n,y*Kz+z] Sy[n,y] = (dB . SyE) @ Ez^T — the
+    # contraction against the exact one-hot tables collapses the
+    # broadcast axis on the MXU (full lanes, no per-y slicing)
+    dims_t = (((1,), (1,)), ((), ()))
+    gSy = _dot2(dB * SzE, ey_ref[...], dims_t)  # (chunk, Ky)
+    gSz = _dot2(dB * SyE, ez_ref[...], dims_t)  # (chunk, Kz)
     gSx = q * dA
 
     # chain through u = (pos/L + 0.5) K: dpos_d = (K_d/L_d) sum_x gS dS
@@ -237,6 +274,7 @@ def _spread_call(position, charge, box_L, order, mesh, chunk, interpret):
     n_pad = pos.shape[0]
     inv_box = (1.0 / jnp.asarray(box_L, jnp.float32)).reshape(1, 3)
 
+    ey, ez = _expand_tables(mesh)
     kernel = functools.partial(_spread_fwd_kernel, order=order, mesh=mesh,
                                chunk=chunk)
     return pl.pallas_call(
@@ -248,14 +286,14 @@ def _spread_call(position, charge, box_L, order, mesh, chunk, interpret):
             pl.BlockSpec((chunk, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # inv box (1, 3)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ey (Ky, Ky*Kz)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ez (Kz, Ky*Kz)
         ],
         out_specs=pl.BlockSpec((Kx, Ky * Kz), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Kx, Ky * Kz), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((chunk, Ky * Kz), jnp.bfloat16),
-                        pltpu.VMEM((chunk, Ky * Kz), jnp.bfloat16)],
         interpret=interpret,
-    )(pos, q, inv_box)
+    )(pos, q, inv_box, ey, ez)
 
 
 def _spread_fwd(position, charge, box_L, order, mesh, chunk, interpret):
@@ -274,6 +312,7 @@ def _spread_bwd(order, mesh, chunk, interpret, res, ct):
     n_pad = pos.shape[0]
     inv_box = (1.0 / jnp.asarray(box_L, jnp.float32)).reshape(1, 3)
 
+    ey, ez = _expand_tables(mesh)
     kernel = functools.partial(_spread_bwd_kernel, order=order, mesh=mesh,
                                chunk=chunk)
     dpos = pl.pallas_call(
@@ -287,14 +326,14 @@ def _spread_bwd(order, mesh, chunk, interpret, res, ct):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # inv box
             pl.BlockSpec((Kx, Ky * Kz), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),  # ct (fetched once)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ey (Ky, Ky*Kz)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ez (Kz, Ky*Kz)
         ],
         out_specs=pl.BlockSpec((chunk, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((chunk, Ky * Kz), jnp.bfloat16),
-                        pltpu.VMEM((chunk, Ky * Kz), jnp.bfloat16)],
         interpret=interpret,
-    )(pos, q, inv_box, ct.astype(jnp.float32))
+    )(pos, q, inv_box, ct.astype(jnp.float32), ey, ez)
     dpos = dpos[:n].astype(position.dtype)
     return (dpos, jnp.zeros_like(charge), jnp.zeros_like(box_L))
 

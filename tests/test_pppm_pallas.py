@@ -71,6 +71,48 @@ def test_pallas_spread_padding_invariant(scene):
                                atol=1e-5 * float(jnp.abs(g64).max()))
 
 
+def test_spread_noncubic_mesh_matches_xla():
+    """Ky != Kz exercises the one-hot Khatri-Rao expansion tables'
+    row/column indexing (m // Kz vs m % Kz) — a transposed table would
+    still pass every cubic-mesh test."""
+    mesh = (8, 16, 32)  # Ky*Kz = 512, multiple of 128
+    order = 6
+    rng = np.random.default_rng(7)
+    n = 48
+    box = jnp.asarray([22.0, 30.0, 41.0], jnp.float32)
+    pos = jnp.asarray(
+        (rng.random((n, 3)) - 0.5) * np.asarray(box), jnp.float32
+    )
+    q = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    grid = spread_grid_pallas(pos, q, box, order, mesh, 64, True)
+    from cavmd_tpu.ops.pppm import _spread_matrices
+
+    Sx, Sy, Sz = _spread_matrices(pos, box, order, mesh)
+    A = q[:, None] * Sx
+    B = (Sy[:, :, None] * Sz[:, None, :]).reshape(n, -1)
+    ref = A.T @ B
+    np.testing.assert_allclose(np.asarray(grid), np.asarray(ref),
+                               atol=5e-5, rtol=0)
+
+    ct = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    dpos = jax.vjp(
+        lambda p: spread_grid_pallas(p, q, box, order, mesh, 64, True),
+        pos,
+    )[1](ct)[0]
+
+    def dense(p):
+        Sx, Sy, Sz = _spread_matrices(p, box, order, mesh)
+        return ((q[:, None] * Sx).T
+                @ (Sy[:, :, None] * Sz[:, None, :]).reshape(n, -1))
+
+    dref = jax.vjp(dense, pos)[1](ct)[0]
+    scale = np.abs(np.asarray(dref)).max()
+    np.testing.assert_allclose(
+        np.asarray(dpos), np.asarray(dref), atol=3e-4 * scale, rtol=0
+    )
+
+
 def test_spread_64_mesh_matches_xla():
     """64^3 mesh through the Pallas spread (the mesh-consistent large-N
     configuration: the XLA path's dense (N, Ky*Kz) factor is 1.6 GB at
