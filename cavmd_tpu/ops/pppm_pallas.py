@@ -237,9 +237,10 @@ def _pad_chunk(x, chunk, fill=0.0):
 
 
 def _resolve_chunk(mesh, chunk):
-    """Particle-chunk size bounded by VMEM: the bwd kernel holds the bf16
-    B hi/lo scratches (chunk * Ky*Kz * 4 B total) plus the f32 dB
-    (chunk * Ky*Kz * 4 B) against the 16 MB scoped-vmem limit."""
+    """Particle-chunk size bounded by VMEM: the bwd kernel materializes
+    the (chunk, Ky*Kz) expansion layouts SyE/SzE, the bf16 B hi/lo
+    values, and the f32 dB against the 16 MB scoped-vmem limit (the
+    one-hot tables add 2 * K * Ky*Kz bf16, 512 KB each at 64^3)."""
     if chunk is not None:
         return chunk
     kyz = mesh[1] * mesh[2]
