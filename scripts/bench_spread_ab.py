@@ -45,7 +45,11 @@ def main():
     q = jnp.asarray(rng.standard_normal(n), jnp.float32)
     q = q - q.mean()  # neutral
 
-    from cavmd_tpu.ops.pppm import PPPMParams, pppm_force_and_energy
+    from cavmd_tpu.ops.pppm import (
+        PPPMParams,
+        pppm_force_and_energy,
+        pppm_force_and_energy_pallas,
+    )
 
     print(f"backend={jax.default_backend()} N={n}")
     for k in (32, 64):
@@ -72,8 +76,8 @@ def main():
 
         for chunk in (None, 128, 256, 512):
             try:
-                pal = jax.jit(lambda p, c=chunk: _pallas_fe(
-                    p, q, box, params, order, mesh, c))
+                pal = jax.jit(lambda p, c=chunk: pppm_force_and_energy_pallas(
+                    p, q, box, params, order, mesh, chunk=c))
                 ms = time_fn(pal, pos)
                 f_p, e_p = pal(pos)
                 tag = "auto" if chunk is None else str(chunk)
@@ -86,20 +90,6 @@ def main():
             except Exception as exc:  # VMEM OOM at large chunks: report
                 print(f"  {k}^3 Pallas spread (chunk {chunk}): FAILED "
                       f"{type(exc).__name__}: {str(exc)[:120]}")
-
-
-def _pallas_fe(p, q, box, params, order, mesh, chunk):
-    from cavmd_tpu.ops.pppm import _mesh_energy
-    from cavmd_tpu.ops.pppm_pallas import spread_grid_pallas
-
-    Kx, Ky, Kz = mesh
-
-    def e_fn(pp):
-        grid = spread_grid_pallas(pp, q, box, order, tuple(mesh), chunk)
-        return _mesh_energy(grid.reshape(Kx, 1, Ky, Kz), params, mesh)[0]
-
-    e, grad = jax.value_and_grad(e_fn)(p)
-    return -grad, e
 
 
 if __name__ == "__main__":
