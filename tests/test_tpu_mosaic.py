@@ -1,0 +1,109 @@
+"""Opt-in real-TPU Mosaic compile checks (CAVMD_TPU_TESTS=1).
+
+CI forces the CPU backend (conftest.py), so the Pallas kernels normally
+run interpret-mode only and nothing in the suite compiles Mosaic. These
+tests close that gap when a TPU is reachable: each spawns a clean
+subprocess (the conftest's platform force is process-wide and cannot be
+undone in-process) that attaches the real chip, compiles the kernel
+through Mosaic, and checks the numerics against the XLA path.
+
+Opt-in rather than auto-detected because probing the axon TPU plugin
+*hangs* (not errors) when the tunnel is down — an auto-skip probe would
+stall the whole suite. Run: ``CAVMD_TPU_TESTS=1 pytest -m tpu``.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        os.environ.get("CAVMD_TPU_TESTS") != "1",
+        reason="real-TPU tests are opt-in: set CAVMD_TPU_TESTS=1",
+    ),
+]
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SPREAD_CHECK = """
+import sys
+sys.path.insert(0, %r)  # not PYTHONPATH: env vars break axon discovery
+import jax, jax.numpy as jnp, numpy as np
+assert jax.default_backend() == "tpu", jax.default_backend()
+
+from cavmd_tpu.ops.pppm import PPPMParams, pppm_force_and_energy, \\
+    pppm_force_and_energy_pallas
+
+rng = np.random.default_rng(5)
+n = 4096
+box = jnp.asarray([60.0, 60.0, 60.0], jnp.float32)
+pos = jnp.asarray((rng.random((n, 3)) - 0.5) * np.asarray(box), jnp.float32)
+q = jnp.asarray(rng.standard_normal(n), jnp.float32)
+q = q - q.mean()
+
+for mesh in ((32, 32, 32), (8, 16, 32)):
+    params, order = PPPMParams.create(
+        np.asarray(box), mesh=mesh, order=6, kappa=0.35, dtype=jnp.float32)
+    f_ref, e_ref = jax.jit(
+        lambda p: pppm_force_and_energy(p, q, box, params, order, mesh))(pos)
+    f_p, e_p = jax.jit(
+        lambda p: pppm_force_and_energy_pallas(
+            p, q, box, params, order, mesh))(pos)
+    scale = float(jnp.abs(f_ref).max())
+    dev = float(jnp.abs(f_p - f_ref).max()) / scale
+    ed = abs(float(e_p) - float(e_ref)) / abs(float(e_ref))
+    assert dev < 1e-3, (mesh, dev)
+    assert ed < 1e-4, (mesh, ed)
+    print(f"mesh {mesh}: Mosaic spread force dev {dev:.1e} energy {ed:.1e}")
+print("MOSAIC_SPREAD_OK")
+"""
+
+
+def test_mosaic_spread_compiles_and_matches_xla():
+    """Compile the Pallas spread (fwd + analytic bwd) through Mosaic on
+    the real chip and compare against the XLA GEMM path — the check the
+    interpret-mode suite cannot perform."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _SPREAD_CHECK % REPO],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "MOSAIC_SPREAD_OK" in proc.stdout, proc.stdout
+
+
+_CELL_CHECK = """
+import sys
+sys.path.insert(0, %r)
+import jax, jax.numpy as jnp, numpy as np
+assert jax.default_backend() == "tpu", jax.default_backend()
+
+from cavmd_tpu.drivers.workloads import build_large_n
+
+# 3000 molecules -> N=6001 > the 4096 cell-mode threshold: the step runs
+# the fused Pallas cell kernel (Mosaic) end to end
+runner, state, snap, ff = build_large_n(3000)
+state, obs = runner(state, 20)
+jax.block_until_ready(state.position)
+assert not bool(np.any(np.asarray(obs["cell_overflow"]))), "overflow"
+from cavmd_tpu.integrate import universe_energy
+eu = np.asarray(universe_energy(obs))
+drift = float(eu.max() - eu.min())
+assert drift < 5.0, drift  # f32 large-N band, see bench_large_n.py
+print(f"cell-mode 20 steps, universe drift {drift:.2e} Ha")
+print("MOSAIC_CELL_OK")
+"""
+
+
+def test_mosaic_cell_kernel_steps():
+    """Run the production cell-mode step (fused Pallas cell kernel) on
+    the real chip for 20 steps with the overflow and conservation
+    oracles."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _CELL_CHECK % REPO],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "MOSAIC_CELL_OK" in proc.stdout, proc.stdout
