@@ -23,6 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from cavmd_tpu.core import PhysicalConstants as PC
+from cavmd_tpu.observe import spectrum_from_signal
 from cavmd_tpu.core.snapshot import Snapshot, add_cavity_particle
 from cavmd_tpu.integrate import (
     ForceField,
@@ -84,10 +85,8 @@ def photon_spectrum_peaks(g, q_charge=0.35, n_periods=800, threshold=0.1):
 
     _, obs = run_steps(step_q, state, n)
     qx = np.asarray(obs["qx"])
-    spec = np.abs(np.fft.rfft((qx - qx.mean()) * np.hanning(n)))
-    freqs = (
-        2 * np.pi * np.fft.rfftfreq(n, d=float(dt)) * PC.HARTREE_TO_CM_MINUS1
-    )
+    # library spectrum route (observe/spectra.py); dt is atomic units
+    freqs, spec = spectrum_from_signal(qx, float(dt) * PC.TIME_PS_CONVERSION)
 
     mask = spec > threshold * spec.max()
     peaks, i = [], 0
