@@ -94,6 +94,42 @@ def read_autocorr_segments(prefix, directory="."):
     return lag, c_mean, len(segs)
 
 
+def read_fkt_references(prefix, directory="."):
+    """All ``{prefix}_ref{n}.txt`` F(k,t) reference files, averaged onto
+    a common uniform lag grid -> (lag_ps, F_mean, n_references).
+
+    FieldAutocorrelationTracker rows already carry the lag relative to
+    each file's own reference time (``timestep lag(ps) F``); references
+    start mid-trajectory, so the common grid spans the overlapping lag
+    range [max(first lags), min(last lags)] of all references with at
+    least two rows.
+    """
+    paths = sorted(
+        glob.glob(os.path.join(directory, f"{prefix}_ref*.txt")),
+        key=lambda p: int(re.search(r"_ref(\d+)\.txt$", p).group(1)),
+    )
+    refs = []
+    for p in paths:
+        _, lag, f = read_autocorr_file(p)  # same 3-column row format
+        if len(lag) >= 2:
+            refs.append((lag, f))
+    if not refs:
+        raise FileNotFoundError(
+            f"no F(k,t) reference files with >=2 rows match "
+            f"{prefix}_ref*.txt in {directory!r}"
+        )
+    dt = float(np.median(np.concatenate([np.diff(t) for t, _ in refs])))
+    lo = max(float(t[0]) for t, _ in refs)
+    hi = min(float(t[-1]) for t, _ in refs)
+    if hi <= lo:
+        # no overlapping window (very short run): fall back to ref 0
+        lag, f = refs[0]
+        return lag, f, 1
+    grid = lo + np.arange(int(np.floor((hi - lo) / dt)) + 1) * dt
+    f_mean = np.mean([np.interp(grid, t, f) for t, f in refs], axis=0)
+    return grid, f_mean, len(refs)
+
+
 def spectrum_from_acf(lag_ps, c, window="hann", zero_pad=4):
     """One-sided cosine transform of an ACF -> (freq_cm1, intensity).
 

@@ -5,10 +5,12 @@ import pytest
 
 from cavmd_tpu.observe import (
     DipoleAutocorrelation,
+    FieldAutocorrelationTracker,
     ir_absorption,
     peak_frequencies,
     read_autocorr_file,
     read_autocorr_segments,
+    read_fkt_references,
     spectrum_from_acf,
     spectrum_from_signal,
 )
@@ -115,3 +117,36 @@ def test_tracker_file_round_trip(tmp_path, monkeypatch):
     freq, spec = spectrum_from_acf(lag, c_mean)
     # short window -> coarse resolution; just nail the line to ~5%
     assert freq[np.argmax(spec)] == pytest.approx(nu0, rel=0.05)
+
+
+def test_fkt_reference_files_round_trip(tmp_path, monkeypatch):
+    """FieldAutocorrelationTracker ref files -> averaged F(k,t) decay."""
+    monkeypatch.chdir(tmp_path)
+    from cavmd_tpu.core.units import PhysicalConstants as PC
+
+    tr = FieldAutocorrelationTracker(
+        output_prefix="fkt", output_period_steps=5,
+        reference_interval_ps=0.05, max_references=3,
+    )
+    tau = 0.2  # ps relaxation of the synthetic field
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal(16) + 1j * rng.standard_normal(16)
+    dt_step_ps = 0.001
+    for s in range(0, 501, 5):
+        t_ps = s * dt_step_ps
+        field = base * np.exp(-t_ps / tau)
+        tr.consume({
+            "timestep": np.array([s]),
+            "time_au": np.array([t_ps / PC.TIME_PS_CONVERSION]),
+            "rho_k_re": field.real[None],
+            "rho_k_im": field.imag[None],
+        })
+
+    lag, f_mean, n_ref = read_fkt_references("fkt")
+    assert n_ref >= 2
+    assert len(lag) >= 5
+    # each reference sees F(lag) = |base|^2 e^{-t_ref/tau} e^{-lag/tau}:
+    # the averaged curve still decays as e^{-lag/tau}
+    ratio = f_mean[1:] / f_mean[:-1]
+    expect = np.exp(-(lag[1] - lag[0]) / tau)
+    np.testing.assert_allclose(ratio, expect, rtol=1e-3)
