@@ -119,6 +119,30 @@ def test_tracker_file_round_trip(tmp_path, monkeypatch):
     assert freq[np.argmax(spec)] == pytest.approx(nu0, rel=0.05)
 
 
+def test_spectrum_cli(tmp_path, monkeypatch):
+    """The CLI reads tracker segments and writes a parseable spectrum."""
+    monkeypatch.chdir(tmp_path)
+    from cavmd_tpu.core.units import PhysicalConstants as PC
+    from cavmd_tpu.drivers.spectrum import main as spectrum_main
+
+    tr = DipoleAutocorrelation(output_period_steps=10)
+    nu0 = 1400.0
+    omega = 2 * np.pi * C_CM_PER_PS * nu0
+    for s in range(0, 801, 10):
+        t_ps = s * 0.001
+        tr.consume({
+            "timestep": np.array([s]),
+            "time_au": np.array([t_ps / PC.TIME_PS_CONVERSION]),
+            "dipole": np.array([[np.cos(omega * t_ps), 0.0, 0.0]]),
+        })
+
+    out = spectrum_main(["dipole_autocorr", "--kind", "ir"])
+    rows = np.loadtxt(out)
+    assert rows.shape[1] == 2
+    peak = rows[np.argmax(rows[:, 1]), 0]
+    assert peak == pytest.approx(nu0, rel=0.05)
+
+
 def test_fkt_reference_files_round_trip(tmp_path, monkeypatch):
     """FieldAutocorrelationTracker ref files -> averaged F(k,t) decay."""
     monkeypatch.chdir(tmp_path)
