@@ -44,6 +44,9 @@ def main(argv=None):
     ap.add_argument("--zero-pad", type=int, default=4)
     ap.add_argument("--peak-threshold", type=float, default=0.2,
                     help="report peaks above this fraction of the max")
+    ap.add_argument("--min-freq", type=float, default=200.0,
+                    help="ignore peaks below this wavenumber (cm^-1): "
+                         "cuts the diffusive Rayleigh wing (0 = keep all)")
     args = ap.parse_args(argv)
 
     if args.fkt:
@@ -62,7 +65,8 @@ def main(argv=None):
         f.write("# freq(cm^-1) intensity\n")
         np.savetxt(f, np.column_stack([freq, inten]), fmt="%.6f %.8e")
 
-    peaks = peak_frequencies(freq, inten, threshold=args.peak_threshold)
+    peaks = peak_frequencies(freq, inten, threshold=args.peak_threshold,
+                             min_freq_cm1=args.min_freq)
     print(f"{out}: {len(freq)} bins from {n_seg} segment(s); peaks "
           f">{args.peak_threshold:.0%} of max: "
           f"{[round(float(p), 1) for p in peaks]} cm^-1")

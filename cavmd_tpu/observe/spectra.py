@@ -69,13 +69,17 @@ def read_autocorr_segments(prefix, directory="."):
     further. The trailing (usually still-growing) segment is included
     only if it has at least two rows.
     """
-    paths = sorted(
-        glob.glob(os.path.join(directory, f"{prefix}_*.txt")),
-        key=lambda p: int(re.search(r"_(\d+)\.txt$", p).group(1)),
-    )
+    # numeric suffixes only: a {prefix}_spectrum.txt written by the
+    # spectrum CLI into the same directory must not be read as a segment
+    hits = [
+        (p, re.search(r"_(\d+)\.txt$", p))
+        for p in glob.glob(os.path.join(directory, f"{prefix}_*.txt"))
+    ]
+    paths = sorted((p for p, m in hits if m),
+                   key=lambda p: int(re.search(r"_(\d+)\.txt$", p).group(1)))
     if not paths:
         raise FileNotFoundError(
-            f"no autocorrelation segments match {prefix}_*.txt in "
+            f"no autocorrelation segments match {prefix}_<n>.txt in "
             f"{directory!r}"
         )
     segs = []
@@ -104,8 +108,12 @@ def read_fkt_references(prefix, directory="."):
     range [max(first lags), min(last lags)] of all references with at
     least two rows.
     """
+    hits = [
+        (p, re.search(r"_ref(\d+)\.txt$", p))
+        for p in glob.glob(os.path.join(directory, f"{prefix}_ref*.txt"))
+    ]
     paths = sorted(
-        glob.glob(os.path.join(directory, f"{prefix}_ref*.txt")),
+        (p for p, m in hits if m),
         key=lambda p: int(re.search(r"_ref(\d+)\.txt$", p).group(1)),
     )
     refs = []
@@ -190,10 +198,20 @@ def spectrum_from_signal(x, dt_ps, window="hann"):
     return freq_cm1, spec
 
 
-def peak_frequencies(freq_cm1, intensity, threshold=0.1):
-    """Local maxima above ``threshold * max`` -> ascending wavenumbers."""
+def peak_frequencies(freq_cm1, intensity, threshold=0.1, min_freq_cm1=0.0):
+    """Local maxima above ``threshold * max`` -> ascending wavenumbers.
+
+    ``min_freq_cm1`` cuts the Rayleigh wing (diffusive/rotational weight
+    below the vibrational bands) from both the peak list and the max
+    used for the threshold.
+    """
+    f = np.asarray(freq_cm1, float)
     s = np.asarray(intensity, float)
-    keep = (s[1:-1] >= s[:-2]) & (s[1:-1] >= s[2:]) & (
-        s[1:-1] >= threshold * s.max()
+    band = s[1:-1].copy()
+    band[f[1:-1] < min_freq_cm1] = 0.0
+    if band.max() <= 0.0:
+        return np.empty(0)
+    keep = (band >= s[:-2]) & (band >= s[2:]) & (
+        band >= threshold * band.max()
     )
-    return np.asarray(freq_cm1)[1:-1][keep]
+    return f[1:-1][keep]

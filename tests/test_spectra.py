@@ -142,6 +142,11 @@ def test_spectrum_cli(tmp_path, monkeypatch):
     peak = rows[np.argmax(rows[:, 1]), 0]
     assert peak == pytest.approx(nu0, rel=0.05)
 
+    # rerunning with the CLI's own output in the directory must not
+    # parse {prefix}_spectrum.txt as a segment (non-numeric suffix)
+    out2 = spectrum_main(["dipole_autocorr", "--kind", "ir"])
+    assert out2 == out
+
 
 def test_fkt_reference_files_round_trip(tmp_path, monkeypatch):
     """FieldAutocorrelationTracker ref files -> averaged F(k,t) decay."""
