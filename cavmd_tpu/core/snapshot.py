@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cavmd_tpu.core.box import Box, unwrap_positions, wrap_positions
+from cavmd_tpu.core.box import Box, unwrap_positions
 
 
 @dataclasses.dataclass(frozen=True)

@@ -24,7 +24,6 @@ Python numbers (group membership is by particle type, which never changes).
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax

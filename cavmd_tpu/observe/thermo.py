@@ -104,8 +104,6 @@ class BussiReservoirView:
         return self.instantaneous_reservoir_translational
 
     def reset_reservoir_energy(self):
-        import jax.numpy as jnp
-
         s = self.sim.state
         self.sim.state = s.replace(
             bussi_reservoir=s.bussi_reservoir.at[self.slot].set(0.0),

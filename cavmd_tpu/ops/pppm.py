@@ -34,7 +34,6 @@ the sizes this framework targets.
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache, partial
 from typing import NamedTuple
 

@@ -145,7 +145,6 @@ class Simulation:
         key = stream_key(master_key(seed), STREAM_THERMALIZE, 0)
         typeid = np.asarray(self.state.typeid)
         l_typeid = self.ff.l_typeid
-        import jax.numpy as jnp
 
         # sharding-padding ghosts stay frozen: their 1e30 pinning mass would
         # dominate the drift-removal momentum sum
