@@ -321,15 +321,16 @@ def pppm_reciprocal_energy(position, charge, box_L, params: PPPMParams, order: i
 
 def pppm_force_and_energy_pallas(position, charge, box_L,
                                  params: PPPMParams, order: int, mesh,
-                                 chunk=None):
+                                 chunk=None, stacked=False):
     """Forces + energy with the Pallas spread kernel (ops/pppm_pallas.py).
 
     Same DFT/influence core (:func:`_mesh_energy`); only the spreading
     stage differs — the (N, Ky*Kz) Khatri-Rao intermediate never touches
     HBM (410 MB/step at N=100k on the XLA path, measured). The spread's
     backward is an analytic custom_vjp, so ``value_and_grad`` works
-    unchanged. ``chunk`` overrides the kernel's VMEM-budget auto size
-    (scripts/bench_spread_ab.py sweeps it through this one production
+    unchanged. ``chunk`` overrides the kernel's VMEM-budget auto size and
+    ``stacked`` selects the lane-stacked stencil schedule
+    (scripts/bench_spread_ab.py sweeps both through this one production
     entry point).
     """
     from cavmd_tpu.ops.pppm_pallas import spread_grid_pallas
@@ -338,7 +339,7 @@ def pppm_force_and_energy_pallas(position, charge, box_L,
 
     def e_fn(p):
         grid = spread_grid_pallas(p, charge, box_L, order, tuple(mesh),
-                                  chunk)
+                                  chunk, False, stacked)
         return _mesh_energy(
             grid.reshape(Kx, 1, Ky, Kz), params, mesh
         )[0].astype(position.dtype)

@@ -57,20 +57,13 @@ _PALLAS_SPREAD_ENABLED = _PALLAS_SPREAD_MODE == "1"
 # HIGHEST pass count, and half the buffer bytes of f32 operands.
 
 
-def _stencils(pos_d, K, inv_L, order):
-    """(chunk,) positions along one axis -> S (chunk, K) B-spline weights
-    and dS (chunk, K) their derivative w.r.t. the grid coordinate u."""
-    dtype = pos_d.dtype
-    u = (pos_d * inv_L + 0.5) * K  # grid coords in [0, K)
-    base = jnp.floor(u)
-    frac = (u - base)[:, None]  # (chunk, 1)
+def _coxdeboor(arg, order):
+    """Shift-indexed Cox-de Boor recursion on full lane arrays.
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1).astype(jnp.float32)
-    t = base[:, None] - lanes
-    t = t - K * jnp.floor(t * (1.0 / K))  # mod K, reciprocal-multiply
-    arg = frac + t  # (chunk, K)
-
-    # shift-indexed Cox-de Boor levels
+    ``arg`` (chunk, L) -> S = M_order(arg) and dS = M'_order(arg) =
+    M_{order-1}[0] - M_{order-1}[1], both (chunk, L). Elementwise in
+    lanes, so it runs identically on one axis's (chunk, K) window or on
+    the three axes stacked to (chunk, Kx+Ky+Kz)."""
     level = [
         jnp.where((arg - s >= 0.0) & (arg - s < 1.0),
                   jnp.ones_like(arg), jnp.zeros_like(arg))
@@ -89,7 +82,74 @@ def _stencils(pos_d, K, inv_L, order):
     S = level[0]
     dS = penultimate[0] - (penultimate[1] if len(penultimate) > 1
                            else jnp.zeros_like(arg))
+    return S, dS
+
+
+def _stencils(pos_d, K, inv_L, order):
+    """(chunk,) positions along one axis -> S (chunk, K) B-spline weights
+    and dS (chunk, K) their derivative w.r.t. the grid coordinate u."""
+    dtype = pos_d.dtype
+    u = (pos_d * inv_L + 0.5) * K  # grid coords in [0, K)
+    base = jnp.floor(u)
+    frac = (u - base)[:, None]  # (chunk, 1)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1).astype(jnp.float32)
+    t = base[:, None] - lanes
+    t = t - K * jnp.floor(t * (1.0 / K))  # mod K, reciprocal-multiply
+    arg = frac + t  # (chunk, K)
+
+    S, dS = _coxdeboor(arg, order)
     return S.astype(dtype), dS.astype(dtype)
+
+
+def _stencils_stacked(pos, scal2, cst, order):
+    """All three axes' stencils in ONE recursion on (chunk, Kx+Ky+Kz).
+
+    At K=32 the per-axis recursion runs (chunk, 32) arrays — 32/128 VPU
+    lanes per op. Stacking the axes along lanes fills 96/128 and shares
+    the ~21-op Cox-de Boor pipeline three ways; the lane constants
+    (segment masks / in-segment lane index / per-lane K) come in via
+    ``cst`` (see :func:`_stacked_consts`) and the axis slicing downstream
+    is absorbed by the zero-row-padded expansion tables
+    (:func:`_expand_tables_stacked`) at no extra MXU passes while
+    Kx+Ky+Kz <= 128.
+
+    ``pos`` (chunk, 3); ``scal2`` (2, 3) rows [K/L, K/2] per axis (so
+    u_d = pos_d * K_d/L_d + K_d/2 — exact f32 VPU madds, never an MXU
+    dot, whose bf16 passes would corrupt floor(u)).
+    """
+    mask = [cst[d:d + 1, :] for d in range(3)]  # (1, Ktot) 0/1 per axis
+    seg_lane = cst[3:4, :]
+    Kvec = cst[4:5, :]
+    invK = cst[5:6, :]
+
+    # u_d broadcast across its own segment, zero elsewhere
+    U = (pos[:, 0:1] * scal2[0, 0] + scal2[1, 0]) * mask[0]
+    U += (pos[:, 1:2] * scal2[0, 1] + scal2[1, 1]) * mask[1]
+    U += (pos[:, 2:3] * scal2[0, 2] + scal2[1, 2]) * mask[2]
+    base = jnp.floor(U)
+    frac = U - base
+    t = base - seg_lane
+    t = t - Kvec * jnp.floor(t * invK)  # mod K_d, per-lane reciprocal
+    arg = frac + t  # (chunk, Ktot)
+
+    return _coxdeboor(arg, order)
+
+
+def _stacked_consts(mesh):
+    """(6, Kx+Ky+Kz) f32 lane constants for the stacked recursion:
+    rows 0-2 = per-axis segment masks, 3 = lane index within its segment,
+    4 = K of the lane's axis, 5 = 1/K."""
+    Ks = list(mesh)
+    ktot = sum(Ks)
+    seg = np.repeat(np.arange(3), Ks)
+    out = np.zeros((6, ktot), np.float32)
+    for d in range(3):
+        out[d] = seg == d
+    out[3] = np.concatenate([np.arange(k) for k in Ks])
+    out[4] = np.repeat(Ks, Ks)
+    out[5] = 1.0 / out[4]
+    return jnp.asarray(out)
 
 
 def _split_bf16(x):
@@ -147,6 +207,24 @@ def _expand_tables(mesh):
     m = np.arange(Ky * Kz)
     ey = (m // Kz == np.arange(Ky)[:, None]).astype(np.float32)
     ez = (m % Kz == np.arange(Kz)[:, None]).astype(np.float32)
+    return jnp.asarray(ey, jnp.bfloat16), jnp.asarray(ez, jnp.bfloat16)
+
+
+def _expand_tables_stacked(mesh):
+    """One-hot expansion tables addressed by STACKED lane index.
+
+    Same Ey/Ez as :func:`_expand_tables`, but with zero row blocks for
+    the other axes' lane segments, shape (Kx+Ky+Kz, Ky*Kz): a dot of the
+    stacked stencil array against them both selects the axis AND expands
+    to the Khatri-Rao layout. While Kx+Ky+Kz <= 128 the contraction dim
+    stays inside one MXU block, so the axis selection is free."""
+    Kx, Ky, Kz = mesh
+    m = np.arange(Ky * Kz)
+    ktot = Kx + Ky + Kz
+    ey = np.zeros((ktot, Ky * Kz), np.float32)
+    ez = np.zeros((ktot, Ky * Kz), np.float32)
+    ey[Kx:Kx + Ky] = m // Kz == np.arange(Ky)[:, None]
+    ez[Kx + Ky:] = m % Kz == np.arange(Kz)[:, None]
     return jnp.asarray(ey, jnp.bfloat16), jnp.asarray(ez, jnp.bfloat16)
 
 
@@ -226,6 +304,78 @@ def _spread_bwd_kernel(pos_ref, q_ref, scal_ref, ct_ref, ey_ref, ez_ref,
         gSz * dSz, axis=1, keepdims=True)
 
 
+def _spread_fwd_kernel_stacked(pos_ref, q_ref, scal_ref, cst_ref, ey_ref,
+                               ez_ref, out_ref, *, order, mesh, chunk):
+    Kx, Ky, Kz = mesh
+    i = pl.program_id(0)
+
+    S, _ = _stencils_stacked(pos_ref[...], scal_ref[...], cst_ref[...],
+                             order)  # (chunk, Kx+Ky+Kz)
+    A = q_ref[:, 0:1] * S[:, :Kx]
+
+    # the zero-row-padded tables select the y/z segments AND expand to the
+    # (chunk, Ky*Kz) Khatri-Rao layout in the same MXU dot
+    dims = (((1,), (0,)), ((), ()))
+    B = _dot2(S, ey_ref[...], dims) * _dot2(S, ez_ref[...], dims)
+    bh, bl = _split_bf16(B)
+
+    a_hi, a_lo = _split_bf16(A)
+    contrib = _dot3(
+        a_hi, a_lo, bh, bl, (((0,), (0,)), ((), ()))
+    )  # (Kx, Ky*Kz)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(i != 0)
+    def _():
+        out_ref[...] += contrib
+
+
+def _spread_bwd_kernel_stacked(pos_ref, q_ref, scal_ref, cst_ref, ct_ref,
+                               ey_ref, ez_ref, dpos_ref, *, order, mesh,
+                               chunk):
+    Kx, Ky, Kz = mesh
+
+    S, dS = _stencils_stacked(pos_ref[...], scal_ref[...], cst_ref[...],
+                              order)
+    q = q_ref[:, 0:1]
+    A = q * S[:, :Kx]
+
+    dims = (((1,), (0,)), ((), ()))
+    SyE = _dot2(S, ey_ref[...], dims)  # (chunk, Ky*Kz) broadcast layouts
+    SzE = _dot2(S, ez_ref[...], dims)
+    bh, bl = _split_bf16(SyE * SzE)
+
+    ct_hi, ct_lo = _split_bf16(ct_ref[...])  # (Kx, Ky*Kz) grid cotangent
+    dA = _dot3(
+        bh, bl, ct_hi, ct_lo, (((1,), (1,)), ((), ()))
+    )  # (chunk, Kx)
+    a_hi, a_lo = _split_bf16(A)
+    dB = _dot3(
+        a_hi, a_lo, ct_hi, ct_lo, (((1,), (0,)), ((), ()))
+    )  # (chunk, Ky*Kz)
+
+    # transposed one-hot dots land each axis's stencil gradient back in
+    # its own stacked lane segment (zero rows elsewhere), so the dS chain
+    # runs on full stacked lanes with no slicing
+    dims_t = (((1,), (1,)), ((), ()))
+    gSy = _dot2(dB * SzE, ey_ref[...], dims_t)  # (chunk, Ktot), y-segment
+    gSz = _dot2(dB * SyE, ez_ref[...], dims_t)  # (chunk, Ktot), z-segment
+    gSx = q * dA  # (chunk, Kx)
+
+    # chain through u_d = pos_d * (K_d/L_d) + K_d/2: dpos_d = scal2[0,d]
+    # * sum gS dS (gSy/gSz are zero outside their segments, so the
+    # full-lane sums reduce exactly their own axis)
+    dpos_ref[:, 0:1] = scal_ref[0, 0] * jnp.sum(
+        gSx * dS[:, :Kx], axis=1, keepdims=True)
+    dpos_ref[:, 1:2] = scal_ref[0, 1] * jnp.sum(
+        gSy * dS, axis=1, keepdims=True)
+    dpos_ref[:, 2:3] = scal_ref[0, 2] * jnp.sum(
+        gSz * dS, axis=1, keepdims=True)
+
+
 def _pad_chunk(x, chunk, fill=0.0):
     n = x.shape[0]
     pad = (-n) % chunk
@@ -252,32 +402,54 @@ def _resolve_chunk(mesh, chunk):
     return 64
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _scal_inputs(box_L, mesh, stacked):
+    """Per-axis scale rows the kernels consume. Unstacked: (1, 3)
+    1/L (the kernel applies K itself). Stacked: (2, 3) [K/L, K/2] so
+    u_d = pos_d*scal[0,d] + scal[1,d] with no inline K constants."""
+    inv = 1.0 / jnp.asarray(box_L, jnp.float32)
+    if not stacked:
+        return inv.reshape(1, 3)
+    K = jnp.asarray(mesh, jnp.float32)
+    return jnp.stack([inv * K, 0.5 * K])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def spread_grid_pallas(position, charge, box_L, order, mesh, chunk=None,
-                       interpret=False):
+                       interpret=False, stacked=False):
     """Charge grid (Kx, Ky*Kz) via the Pallas spread kernel.
 
     Differentiable in ``position`` (analytic vjp). ``charge``/``box_L``
     receive zero cotangents (never differentiated in this framework).
     ``chunk=None`` auto-sizes against the VMEM budget (see
-    :func:`_resolve_chunk`).
+    :func:`_resolve_chunk`). ``stacked`` runs the three axis stencil
+    recursions as ONE on concatenated lanes (see
+    :func:`_stencils_stacked`) — identical results, different schedule.
     """
     return _spread_call(position, charge, box_L, order, mesh, chunk,
-                        interpret)
+                        interpret, stacked)
 
 
-def _spread_call(position, charge, box_L, order, mesh, chunk, interpret):
+def _spread_call(position, charge, box_L, order, mesh, chunk, interpret,
+                 stacked=False):
     chunk = _resolve_chunk(mesh, chunk)
     Kx, Ky, Kz = mesh
     n = position.shape[0]
     pos = _pad_chunk(position.astype(jnp.float32), chunk)
     q = _pad_chunk(charge.astype(jnp.float32), chunk)[:, None]
     n_pad = pos.shape[0]
-    inv_box = (1.0 / jnp.asarray(box_L, jnp.float32)).reshape(1, 3)
+    scal = _scal_inputs(box_L, mesh, stacked)
 
-    ey, ez = _expand_tables(mesh)
-    kernel = functools.partial(_spread_fwd_kernel, order=order, mesh=mesh,
-                               chunk=chunk)
+    if stacked:
+        ey, ez = _expand_tables_stacked(mesh)
+        kernel = functools.partial(_spread_fwd_kernel_stacked, order=order,
+                                   mesh=mesh, chunk=chunk)
+        extra = [_stacked_consts(mesh)]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    else:
+        ey, ez = _expand_tables(mesh)
+        kernel = functools.partial(_spread_fwd_kernel, order=order,
+                                   mesh=mesh, chunk=chunk)
+        extra, extra_specs = [], []
     return pl.pallas_call(
         kernel,
         grid=(n_pad // chunk,),
@@ -286,24 +458,26 @@ def _spread_call(position, charge, box_L, order, mesh, chunk, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # inv box (1, 3)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ey (Ky, Ky*Kz)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ez (Kz, Ky*Kz)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale rows
+            *extra_specs,                           # stacked lane consts
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ey
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ez
         ],
         out_specs=pl.BlockSpec((Kx, Ky * Kz), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Kx, Ky * Kz), jnp.float32),
         interpret=interpret,
-    )(pos, q, inv_box, ey, ez)
+    )(pos, q, scal, *extra, ey, ez)
 
 
-def _spread_fwd(position, charge, box_L, order, mesh, chunk, interpret):
+def _spread_fwd(position, charge, box_L, order, mesh, chunk, interpret,
+                stacked):
     grid = _spread_call(position, charge, box_L, order, mesh, chunk,
-                        interpret)
+                        interpret, stacked)
     return grid, (position, charge, box_L)
 
 
-def _spread_bwd(order, mesh, chunk, interpret, res, ct):
+def _spread_bwd(order, mesh, chunk, interpret, stacked, res, ct):
     position, charge, box_L = res
     chunk = _resolve_chunk(mesh, chunk)
     Kx, Ky, Kz = mesh
@@ -311,11 +485,19 @@ def _spread_bwd(order, mesh, chunk, interpret, res, ct):
     pos = _pad_chunk(position.astype(jnp.float32), chunk)
     q = _pad_chunk(charge.astype(jnp.float32), chunk)[:, None]
     n_pad = pos.shape[0]
-    inv_box = (1.0 / jnp.asarray(box_L, jnp.float32)).reshape(1, 3)
+    scal = _scal_inputs(box_L, mesh, stacked)
 
-    ey, ez = _expand_tables(mesh)
-    kernel = functools.partial(_spread_bwd_kernel, order=order, mesh=mesh,
-                               chunk=chunk)
+    if stacked:
+        ey, ez = _expand_tables_stacked(mesh)
+        kernel = functools.partial(_spread_bwd_kernel_stacked, order=order,
+                                   mesh=mesh, chunk=chunk)
+        extra = [_stacked_consts(mesh)]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    else:
+        ey, ez = _expand_tables(mesh)
+        kernel = functools.partial(_spread_bwd_kernel, order=order,
+                                   mesh=mesh, chunk=chunk)
+        extra, extra_specs = [], []
     dpos = pl.pallas_call(
         kernel,
         grid=(n_pad // chunk,),
@@ -324,17 +506,18 @@ def _spread_bwd(order, mesh, chunk, interpret, res, ct):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # inv box
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale rows
+            *extra_specs,                           # stacked lane consts
             pl.BlockSpec((Kx, Ky * Kz), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),  # ct (fetched once)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ey (Ky, Ky*Kz)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ez (Kz, Ky*Kz)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ey
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ez
         ],
         out_specs=pl.BlockSpec((chunk, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
         interpret=interpret,
-    )(pos, q, inv_box, ct.astype(jnp.float32), ey, ez)
+    )(pos, q, scal, *extra, ct.astype(jnp.float32), ey, ez)
     dpos = dpos[:n].astype(position.dtype)
     return (dpos, jnp.zeros_like(charge), jnp.zeros_like(box_L))
 

@@ -74,22 +74,28 @@ def main():
             print(f"  {k}^3 XLA GEMM spread: skipped "
                   f"(dense factor {dense_gb:.1f} GB)")
 
-        for chunk in (None, 128, 256, 512):
-            try:
-                pal = jax.jit(lambda p, c=chunk: pppm_force_and_energy_pallas(
-                    p, q, box, params, order, mesh, chunk=c))
-                ms = time_fn(pal, pos)
-                f_p, e_p = pal(pos)
-                tag = "auto" if chunk is None else str(chunk)
-                line = f"  {k}^3 Pallas spread (chunk {tag:>4}): {ms:7.2f} ms/eval"
-                if f_ref is not None:
-                    scale = float(jnp.abs(f_ref).max())
-                    dev = float(jnp.abs(f_p - f_ref).max()) / scale
-                    line += f"  max force dev vs XLA {dev:.1e}"
-                print(line)
-            except Exception as exc:  # VMEM OOM at large chunks: report
-                print(f"  {k}^3 Pallas spread (chunk {chunk}): FAILED "
-                      f"{type(exc).__name__}: {str(exc)[:120]}")
+        for stacked in (False, True):
+            for chunk in (None, 128, 256, 512):
+                try:
+                    pal = jax.jit(
+                        lambda p, c=chunk, s=stacked:
+                        pppm_force_and_energy_pallas(
+                            p, q, box, params, order, mesh, chunk=c,
+                            stacked=s))
+                    ms = time_fn(pal, pos)
+                    f_p, e_p = pal(pos)
+                    tag = "auto" if chunk is None else str(chunk)
+                    var = "stacked" if stacked else "per-axis"
+                    line = (f"  {k}^3 Pallas {var:>8} (chunk {tag:>4}): "
+                            f"{ms:7.2f} ms/eval")
+                    if f_ref is not None:
+                        scale = float(jnp.abs(f_ref).max())
+                        dev = float(jnp.abs(f_p - f_ref).max()) / scale
+                        line += f"  max force dev vs XLA {dev:.1e}"
+                    print(line)
+                except Exception as exc:  # VMEM OOM at large chunks: report
+                    print(f"  {k}^3 Pallas stacked={stacked} (chunk {chunk}): "
+                          f"FAILED {type(exc).__name__}: {str(exc)[:120]}")
 
 
 if __name__ == "__main__":

@@ -71,6 +71,69 @@ def test_pallas_spread_padding_invariant(scene):
                                atol=1e-5 * float(jnp.abs(g64).max()))
 
 
+def test_stacked_stencils_match_per_axis(scene):
+    """The lane-stacked schedule (one Cox-de Boor recursion on the
+    concatenated (chunk, Kx+Ky+Kz) window) must reproduce the per-axis
+    kernel exactly: same grid forward, same analytic backward."""
+    pos, q, box, params, order, mesh = scene
+    g_ref = spread_grid_pallas(pos, q, box, order, mesh, 64, True, False)
+    g_stk = spread_grid_pallas(pos, q, box, order, mesh, 64, True, True)
+    np.testing.assert_allclose(np.asarray(g_stk), np.asarray(g_ref),
+                               atol=1e-6 * float(jnp.abs(g_ref).max()))
+
+    rng = np.random.default_rng(5)
+    ct = jnp.asarray(rng.standard_normal(g_ref.shape), jnp.float32)
+    d_ref = jax.vjp(
+        lambda p: spread_grid_pallas(p, q, box, order, mesh, 64, True,
+                                     False), pos)[1](ct)[0]
+    d_stk = jax.vjp(
+        lambda p: spread_grid_pallas(p, q, box, order, mesh, 64, True,
+                                     True), pos)[1](ct)[0]
+    scale = float(jnp.abs(d_ref).max())
+    np.testing.assert_allclose(np.asarray(d_stk), np.asarray(d_ref),
+                               atol=1e-5 * scale)
+
+
+def test_stacked_noncubic_mesh_matches_dense():
+    """Unequal Kx/Ky/Kz exercises the stacked lane-segment bookkeeping
+    (per-lane K in the mod, zero-row blocks in the extended tables)."""
+    mesh = (8, 16, 32)
+    order = 6
+    rng = np.random.default_rng(13)
+    n = 48
+    box = jnp.asarray([22.0, 30.0, 41.0], jnp.float32)
+    pos = jnp.asarray(
+        (rng.random((n, 3)) - 0.5) * np.asarray(box), jnp.float32
+    )
+    q = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    grid = spread_grid_pallas(pos, q, box, order, mesh, 64, True, True)
+    from cavmd_tpu.ops.pppm import _spread_matrices
+
+    Sx, Sy, Sz = _spread_matrices(pos, box, order, mesh)
+    ref = (q[:, None] * Sx).T @ (
+        Sy[:, :, None] * Sz[:, None, :]
+    ).reshape(n, -1)
+    np.testing.assert_allclose(np.asarray(grid), np.asarray(ref),
+                               atol=5e-5, rtol=0)
+
+    ct = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    dpos = jax.vjp(
+        lambda p: spread_grid_pallas(p, q, box, order, mesh, 64, True,
+                                     True), pos)[1](ct)[0]
+
+    def dense(p):
+        Sx, Sy, Sz = _spread_matrices(p, box, order, mesh)
+        return ((q[:, None] * Sx).T
+                @ (Sy[:, :, None] * Sz[:, None, :]).reshape(n, -1))
+
+    dref = jax.vjp(dense, pos)[1](ct)[0]
+    scale = np.abs(np.asarray(dref)).max()
+    np.testing.assert_allclose(
+        np.asarray(dpos), np.asarray(dref), atol=3e-4 * scale, rtol=0
+    )
+
+
 def test_spread_noncubic_mesh_matches_xla():
     """Ky != Kz exercises the one-hot Khatri-Rao expansion tables'
     row/column indexing (m // Kz vs m % Kz) — a transposed table would

@@ -49,15 +49,17 @@ for mesh in ((32, 32, 32), (8, 16, 32)):
         np.asarray(box), mesh=mesh, order=6, kappa=0.35, dtype=jnp.float32)
     f_ref, e_ref = jax.jit(
         lambda p: pppm_force_and_energy(p, q, box, params, order, mesh))(pos)
-    f_p, e_p = jax.jit(
-        lambda p: pppm_force_and_energy_pallas(
-            p, q, box, params, order, mesh))(pos)
-    scale = float(jnp.abs(f_ref).max())
-    dev = float(jnp.abs(f_p - f_ref).max()) / scale
-    ed = abs(float(e_p) - float(e_ref)) / abs(float(e_ref))
-    assert dev < 1e-3, (mesh, dev)
-    assert ed < 1e-4, (mesh, ed)
-    print(f"mesh {mesh}: Mosaic spread force dev {dev:.1e} energy {ed:.1e}")
+    for stacked in (False, True):
+        f_p, e_p = jax.jit(
+            lambda p, s=stacked: pppm_force_and_energy_pallas(
+                p, q, box, params, order, mesh, stacked=s))(pos)
+        scale = float(jnp.abs(f_ref).max())
+        dev = float(jnp.abs(f_p - f_ref).max()) / scale
+        ed = abs(float(e_p) - float(e_ref)) / abs(float(e_ref))
+        assert dev < 1e-3, (mesh, stacked, dev)
+        assert ed < 1e-4, (mesh, stacked, ed)
+        print(f"mesh {mesh} stacked={stacked}: Mosaic spread "
+              f"force dev {dev:.1e} energy {ed:.1e}")
 print("MOSAIC_SPREAD_OK")
 """
 
