@@ -321,7 +321,7 @@ def pppm_reciprocal_energy(position, charge, box_L, params: PPPMParams, order: i
 
 def pppm_force_and_energy_pallas(position, charge, box_L,
                                  params: PPPMParams, order: int, mesh,
-                                 chunk=None, stacked=False):
+                                 chunk=None, stacked=None):
     """Forces + energy with the Pallas spread kernel (ops/pppm_pallas.py).
 
     Same DFT/influence core (:func:`_mesh_energy`); only the spreading
@@ -329,9 +329,10 @@ def pppm_force_and_energy_pallas(position, charge, box_L,
     HBM (410 MB/step at N=100k on the XLA path, measured). The spread's
     backward is an analytic custom_vjp, so ``value_and_grad`` works
     unchanged. ``chunk`` overrides the kernel's VMEM-budget auto size and
-    ``stacked`` selects the lane-stacked stencil schedule
-    (scripts/bench_spread_ab.py sweeps both through this one production
-    entry point).
+    ``stacked`` selects the lane-stacked stencil schedule — ``None``
+    (default) picks it automatically where the stacked lane window fits
+    128 lanes (scripts/bench_spread_ab.py sweeps both through this one
+    production entry point).
     """
     from cavmd_tpu.ops.pppm_pallas import spread_grid_pallas
 
