@@ -439,17 +439,17 @@ def _fused_tile(pi, jrow, scal_ref, pack: "CellPallasPack", rc2, wrap=True,
     # sums), not self, not excluded.
     id_i = icol(4)
     id_j = jrow(4)
-    valid = (
-        jnp.where(r2 < rc2, 1.0, 0.0)
-        * jnp.where(id_i != id_j, 1.0, 0.0)
-        * jnp.where(id_i < n_real, 1.0, 0.0)
-        * jnp.where(id_j < n_real, 1.0, 0.0)
-    )
+    # one vmask chain + a single select instead of a per-condition
+    # select+multiply ladder (the two id bounds fold into one compare on
+    # max(id_i, id_j)); same truth table, same 0.0/1.0 float mask, so
+    # every downstream product is bit-identical
+    ok = (r2 < rc2) & (id_i != id_j) & (jnp.maximum(id_i, id_j) < n_real)
     for e in range(pack.max_excl):
         ex_i = icol(5 + ta + e)
-        valid = valid * jnp.where(ex_i != id_j, 1.0, 0.0)
+        ok = ok & (ex_i != id_j)
+    valid = jnp.where(ok, 1.0, 0.0)
 
-    r2_safe = r2 + (1.0 - jnp.minimum(valid, 1.0))
+    r2_safe = r2 + (1.0 - valid)
 
     # per-pair LJ parameters from per-particle rows (both exact):
     # factored (shared products m_k reconstruct sig2 AND eps — see

@@ -541,27 +541,36 @@ def _spread_bwd(order, mesh, chunk, interpret, stacked, res, ct):
 spread_grid_pallas.defvjp(_spread_fwd, _spread_bwd)
 
 
-# XLA-spread dense-factor budget: above this the (N, Ky*Kz) Khatri-Rao
+# XLA-spread dense-factor budgets: above these the (N, Ky*Kz) Khatri-Rao
 # intermediate (2 HBM round-trips per force evaluation) is no longer worth
 # its GEMM efficiency and the VMEM-resident Pallas spread takes over. The
-# crossover is coarse by design: at 32^3/100k (410 MB) the XLA path still
-# WINS (3.7 vs 7.5 ms, measured v5e — K=32 lane underfill in the kernel);
-# at 64^3/100k the factor is 1.6 GB and the dense path is effectively
-# unusable, so the kernel is the scaling path for mesh-consistent large-N
-# electrostatics (VERDICT r2 item 2).
+# crossover depends on the kernel schedule, so there are two constants
+# (all points measured on v5e, full force+energy evals,
+# scripts/bench_spread_ab.py):
+#
+# - meshes where the lane-STACKED schedule applies (Kx+Ky+Kz <= 128,
+#   e.g. 32^3): XLA wins at 25k (1.62 vs 2.00 ms) and 50k (2.16 vs
+#   2.85), the kernel wins at 100k (4.67 vs 4.92 — the 410 MB factor
+#   starts thrashing HBM superlinearly) => crossover ~350 MB.
+# - per-axis meshes (64^3): XLA wins at 25k (2.91 vs 4.50), ties at 50k
+#   (7.83 vs 7.80, 781 MB factor) => crossover ~768 MB; at 64^3/100k the
+#   factor is 1.6 GB and the dense path is effectively unusable, so the
+#   kernel is the scaling path for mesh-consistent large-N
+#   electrostatics (VERDICT r2 item 2).
 _DENSE_SPREAD_BUDGET_BYTES = 768 << 20
+_DENSE_SPREAD_BUDGET_BYTES_STACKED = 350 << 20
 
 
 def pallas_spread_ok(mesh, n=None, backend=None) -> bool:
     """Static predicate: is the Pallas spread applicable AND profitable?
 
     Default (env unset): AUTO — used only when the XLA path's dense
-    (N, Ky*Kz) factor exceeds ``_DENSE_SPREAD_BUDGET_BYTES`` and the
-    kernel's VMEM residency fits (grid + chunk buffer). Below the budget
-    the XLA GEMM path measured faster at both probed scales — 50 vs 20 us
-    at N=501 (call overhead), 7.5 vs 3.7 ms at 32^3/N=100k (K=32-wide
-    arrays underfill lanes and MXU rows). CAVMD_PPPM_PALLAS=1 forces the
-    kernel on wherever applicable (used by tests/benchmarks).
+    (N, Ky*Kz) factor exceeds the measured crossover budget for the
+    schedule the kernel would run (see the budget constants above) and
+    the kernel's VMEM residency fits (grid + chunk buffer). Below the
+    budget the XLA GEMM path measured faster at every probed scale, down
+    to 50 vs 20 us at N=501 (call overhead). CAVMD_PPPM_PALLAS=1 forces
+    the kernel on wherever applicable (used by tests/benchmarks).
 
     The env flag is read once at module import (_PALLAS_SPREAD_ENABLED):
     the result feeds functions cached by lru_cache and jit, so it must be
@@ -582,4 +591,7 @@ def pallas_spread_ok(mesh, n=None, backend=None) -> bool:
     if _PALLAS_SPREAD_MODE is not None:
         return _PALLAS_SPREAD_ENABLED
     dense_bytes = (n or 0) * Ky * Kz * 4
-    return dense_bytes > _DENSE_SPREAD_BUDGET_BYTES
+    budget = (_DENSE_SPREAD_BUDGET_BYTES_STACKED
+              if _resolve_stacked(mesh, None)
+              else _DENSE_SPREAD_BUDGET_BYTES)
+    return dense_bytes > budget
