@@ -406,6 +406,10 @@ def _resolve_chunk(mesh, chunk):
     if chunk is not None:
         return chunk
     kyz = mesh[1] * mesh[2]
+    if kyz <= 1024:
+        return 512  # 32^3: ~10 MB scoped vmem; 512 beat 256 at every
+        # probed N (2.00 vs 2.12 ms/eval at 25k, 2.85 vs 2.92 at 50k,
+        # 4.67 ms at 100k — scripts/bench_spread_ab.py)
     if kyz <= 2048:
         return 256
     if kyz <= 4096:

@@ -221,3 +221,26 @@ def test_spread_64_mesh_matches_xla():
     np.testing.assert_allclose(
         np.asarray(dpos), np.asarray(dref), atol=3e-4 * scale, rtol=0
     )
+
+
+def test_spread_gate_matches_measured_crossovers():
+    """pallas_spread_ok encodes the measured v5e crossover points
+    (scripts/bench_spread_ab.py, docs/performance.md): at 32^3 the
+    stacked-schedule kernel wins only at 100k (dense factor 410 MB >
+    350 MB budget); at 64^3 the per-axis kernel crosses near 781 MB.
+    Pins the gate so a budget-constant regression is caught."""
+    from cavmd_tpu.ops.pppm_pallas import pallas_spread_ok
+
+    expected = {
+        ((32,) * 3, 100_001): True,   # 410 MB, stacked: kernel 4.67 vs 4.92
+        ((32,) * 3, 50_001): False,   # 195 MB, stacked: XLA 2.16 vs 2.85
+        ((32,) * 3, 25_001): False,   # 98 MB, stacked: XLA 1.62 vs 2.00
+        ((64,) * 3, 100_001): True,   # 1.6 GB: XLA path unusable
+        ((64,) * 3, 50_001): True,    # 781 MB, per-axis: 7.83 vs 7.80 tie
+        ((64,) * 3, 25_001): False,   # 391 MB, per-axis: XLA 2.91 vs 4.50
+        ((32,) * 3, 501): False,      # below the 8192 applicability floor
+    }
+    for (mesh, n), want in expected.items():
+        assert pallas_spread_ok(mesh, n=n, backend="tpu") is want, (mesh, n)
+    # never on a non-TPU backend
+    assert pallas_spread_ok((64,) * 3, n=100_001, backend="cpu") is False
