@@ -63,7 +63,7 @@ class CavityMDSimulation:
         gsd_output_period_ps=50.0, console_output_period_ps=1.0,
         truncate_gsd=False, seed=None, n_molecules=250, box_L=46.0,
         chunk_size=500, precision="f64", shard_atoms=0, pad_atoms=0,
-        pppm_resolution=32,
+        pppm_resolution=32, rng_impl=None,
     ):
         self.job_dir = job_dir
         self.replica = replica
@@ -106,6 +106,7 @@ class CavityMDSimulation:
         self.shard_atoms = shard_atoms
         self.pad_atoms = pad_atoms
         self.pppm_resolution = pppm_resolution
+        self.rng_impl = rng_impl
         self.logger = None
         self.sim = None
 
@@ -358,6 +359,7 @@ class CavityMDSimulation:
             chunk_size=self.chunk_size,
             extra_obs=extra,
             shard_atoms=self.shard_atoms,
+            rng_impl=self.rng_impl,
         )
         if self.shard_atoms > 1:
             self.log_info(
@@ -922,6 +924,7 @@ def run_single_experiment(args, replica, frame):
         shard_atoms=args.shard_atoms,
         pad_atoms=args.pad_atoms,
         pppm_resolution=args.pppm_resolution,
+        rng_impl=args.rng_impl,
     )
     return sim.run() == 0
 
@@ -977,6 +980,15 @@ def build_parser():
                         help="shard particle arrays over this many devices "
                              "(1 x K mesh; N is ghost-padded to a multiple "
                              "of K; XLA inserts the dipole/KE/PPPM psums)")
+    parser.add_argument("--rng-impl", choices=("threefry", "rbg"),
+                        default="threefry",
+                        help="PRNG backend for the thermostat streams. "
+                             "threefry (default) bits are invariant under "
+                             "sharding and across compiler versions; rbg "
+                             "(XLA RngBitGenerator) is a measured 8.8%% "
+                             "faster full step on the N=501 flagship "
+                             "(v5e) but its bits are not stable across "
+                             "versions/meshes — throughput runs only")
     parser.add_argument("--pad-atoms", type=int, default=0,
                         help="ghost-pad N to a multiple WITHOUT sharding "
                              "(single-device bitwise comparator for "

@@ -184,6 +184,7 @@ def init_state(
     dt: float,
     seed: int = 0,
     error_tolerance: float = 0.0,
+    rng_impl: str | None = None,
 ) -> MDState:
     """Build the initial MDState (computes initial forces once, jitted —
     eager op-by-op dispatch costs ~95 s at N=100k)."""
@@ -214,7 +215,7 @@ def init_state(
         time_au=jnp.zeros((), dtype),
         time_comp=jnp.zeros((), dtype),
         timestep=jnp.zeros((), jnp.int32),
-        key=master_key(seed),
+        key=master_key(seed, rng_impl),
         bussi_reservoir=z2,
         bussi_reservoir_rot=z2,
         bussi_instantaneous=z2,

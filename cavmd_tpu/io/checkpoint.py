@@ -26,9 +26,22 @@ def _leaf_names(state):
     return names, leaves
 
 
+def _is_typed_key(leaf) -> bool:
+    dt = getattr(leaf, "dtype", None)
+    return dt is not None and jax.dtypes.issubdtype(dt, jax.dtypes.prng_key)
+
+
 def save_checkpoint(path: str, state: MDState):
-    """Save an MDState to a .npz file (complete, exact-resume)."""
+    """Save an MDState to a .npz file (complete, exact-resume).
+
+    Typed PRNG key leaves (``rng_impl="rbg"`` states) are opaque to
+    NumPy; they are stored as their raw ``key_data`` bits — the impl is
+    re-bound from the resume template's key on load.
+    """
     names, leaves = _leaf_names(state)
+    leaves = [
+        jax.random.key_data(l) if _is_typed_key(l) else l for l in leaves
+    ]
     np.savez_compressed(
         path, __names__=np.asarray(names, dtype=object),
         **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
@@ -50,8 +63,13 @@ def load_checkpoint(path: str, template: MDState) -> MDState:
             raise ValueError(
                 f"checkpoint structure mismatch: {names} vs {t_names}"
             )
-        leaves = [
-            jnp.asarray(data[f"leaf_{i}"]) for i in range(len(names))
-        ]
+        leaves = []
+        for i, tmpl in enumerate(t_leaves):
+            raw = jnp.asarray(data[f"leaf_{i}"])
+            if _is_typed_key(tmpl):
+                raw = jax.random.wrap_key_data(
+                    raw, impl=jax.random.key_impl(tmpl)
+                )
+            leaves.append(raw)
     treedef = jax.tree_util.tree_structure(template)
     return jax.tree_util.tree_unflatten(treedef, leaves)

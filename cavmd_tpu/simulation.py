@@ -52,6 +52,7 @@ class Simulation:
         extra_obs: Callable | None = None,
         chunk_size: int = 1000,
         shard_atoms: int = 0,
+        rng_impl: str | None = None,
     ):
         self.snapshot = snapshot
         self.ff = forcefield
@@ -87,7 +88,7 @@ class Simulation:
         self._extra_obs = extra_obs
         self.state: MDState = init_state(
             snapshot, forcefield, dt=dt, seed=seed,
-            error_tolerance=error_tolerance,
+            error_tolerance=error_tolerance, rng_impl=rng_impl,
         )
         self._build_runner()
         if self.mesh is not None:

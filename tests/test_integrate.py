@@ -113,6 +113,56 @@ def test_universe_energy_conservation_bussi_langevin():
     assert drift < 2e-4, f"universe drift {drift}"
 
 
+def test_rbg_rng_impl_runs_and_checkpoints():
+    """``rng_impl="rbg"`` (the measured-faster TPU PRNG, opt-in via the
+    driver's ``--rng-impl``): the thermostat streams run, universe energy
+    stays conserved, and the typed-key state survives a .npz checkpoint
+    round-trip bit-exactly (io/checkpoint.py key_data handling)."""
+    import tempfile
+    from pathlib import Path
+
+    from cavmd_tpu.io import load_checkpoint, save_checkpoint
+
+    snap, ff = build_system(n_mol=8, box_L=20.0, enable_coulomb=False)
+    kT = PhysicalConstants.kT_from_kelvin(100.0)
+    methods = resolve_methods(
+        snap,
+        (
+            MethodSpec(kind="bussi", group="molecular", kT=kT,
+                       tau=PhysicalConstants.ps_to_atomic_units(5.0)),
+            MethodSpec(kind="langevin", group="cavity", kT=kT,
+                       gamma=PhysicalConstants.gamma_from_tau_ps(5.0)),
+        ),
+        ff.l_typeid,
+    )
+    step = jax.jit(make_step_fn(ff, methods))
+    dt = PhysicalConstants.fs_to_atomic_units(0.25)
+    state = init_state(snap, ff, dt=dt, seed=3, rng_impl="rbg")
+    assert jax.dtypes.issubdtype(state.key.dtype, jax.dtypes.prng_key)
+
+    mid, obs = run_steps(step, state, 300)
+    U = np.asarray(universe_energy(obs))
+    assert np.abs(U - U[0]).max() < 2e-4
+    # the rbg stream must actually differ from threefry (same seed)
+    t_state = init_state(snap, ff, dt=dt, seed=3)
+    t_mid, _ = run_steps(step, t_state, 300)
+    assert not np.allclose(np.asarray(mid.velocity),
+                           np.asarray(t_mid.velocity))
+
+    with tempfile.TemporaryDirectory() as d:
+        path = str(Path(d) / "ckpt.npz")
+        save_checkpoint(path, mid)
+        live, _ = run_steps(step, mid, 100)
+        resumed = load_checkpoint(path, mid)
+        np.testing.assert_array_equal(
+            jax.random.key_data(resumed.key), jax.random.key_data(mid.key)
+        )
+        replay, _ = run_steps(step, resumed, 100)
+        np.testing.assert_array_equal(
+            np.asarray(replay.position), np.asarray(live.position)
+        )
+
+
 def test_universe_conservation_langevin_molecular():
     snap, ff = build_system(n_mol=10, box_L=20.0, enable_coulomb=False)
     kT = PhysicalConstants.kT_from_kelvin(100.0)
