@@ -472,22 +472,30 @@ def cell_pair_force(
 
 
 def slot_gather_forces(f_b, clist: CellList, n):
-    """Per-particle forces from (C, cap, 3) tile output rows.
+    """Per-particle forces from (C, cap, k>=3) tile output rows.
 
     Each particle occupies exactly one bucket slot, so the accumulation is
     a permutation: GATHER by the carried ``slot_of`` map (a 100k-row
     gather, ~1 ms at N=100k) rather than scatter-adding 221k slot rows
-    (~2.9 ms, measured v5e). Falls back to the scatter when ``slot_of`` is
-    absent.
+    (~2.9 ms, measured v5e). The gather runs on the CONTIGUOUS flat view
+    of the kernel output (``reshape(C*cap, k)`` is free) — slicing the
+    force columns first materialized a strided 221k-row copy plus a
+    sentinel-row concatenate (~0.5 ms/step of pure formatting at N=100k,
+    xprof). Overflow-dropped particles (``slot_of`` sentinel ``C*cap``)
+    are clamped into range and masked to zero instead of reading a dump
+    row. Falls back to the scatter when ``slot_of`` is absent.
     """
     dtype = f_b.dtype
     if clist.slot_of is not None:
-        flat = jnp.concatenate(
-            [f_b.reshape(-1, 3), jnp.zeros((1, 3), dtype)]
-        )  # dump row for overflow-dropped particles
-        return flat[clist.slot_of]
+        C, cap, k = f_b.shape
+        flat = f_b.reshape(C * cap, k)  # contiguous view — no copy
+        idx = jnp.minimum(clist.slot_of, C * cap - 1)
+        valid = (clist.slot_of < C * cap).astype(dtype)[:, None]
+        return flat[idx][:, :3] * valid
     forces = jnp.zeros((n + 1, 3), dtype)
-    forces = forces.at[clist.bucket_idx.reshape(-1)].add(f_b.reshape(-1, 3))
+    forces = forces.at[clist.bucket_idx.reshape(-1)].add(
+        f_b[:, :, :3].reshape(-1, 3)
+    )
     return forces[:n]
 
 

@@ -586,9 +586,9 @@ def cell_local_positions(position, box_L, clist, cfg):
     return center + off - box * jnp.round(off / box)
 
 
-def _cell_cols_kernel(pi_ref, pj_ref, occ_ref, scal_ref, out_ref, jbuf_ref,
-                      *, pack: "CellPallasPack", rc2, cz, cap, lanes_pad,
-                      s1):
+def _cell_cols_kernel(pi_ref, pj_ref, occ_ref, scal_ref, out_ref, elj_ref,
+                      eew_ref, jbuf_ref, *, pack: "CellPallasPack", rc2, cz,
+                      cap, lanes_pad, s1):
     """One xy column of cells per grid step (z-resident j-tiles).
 
     ``pi_ref``: (1, cz, cap, R) i-side rows for the column's cells.
@@ -607,13 +607,25 @@ def _cell_cols_kernel(pi_ref, pj_ref, occ_ref, scal_ref, out_ref, jbuf_ref,
     slots [0:s1] for every cell; tier 2 computes slots [s1:cap] only when
     ``occ_ref`` says the cell actually fills them (a scalar ``pl.when``
     branch — the sparse tail of the occupancy distribution). Per-row
-    arithmetic and lane-reduction order are unchanged, so results are
-    bit-identical to the single-pass kernel.
+    arithmetic and lane-reduction order are unchanged, so FORCES are
+    bit-identical to the single-pass kernel. Energies accumulate into
+    the ``elj_ref``/``eew_ref`` SMEM scalars across tiles and grid steps
+    (the :func:`_pair_kernel` pattern) instead of writing per-row energy
+    columns: summing the (C, cap) energy channels outside the kernel
+    cost ~0.34 ms/step of full-output slice-reduce at N=100k (xprof).
+    The scalar sum groups per (tier, cell) rather than one array-wide
+    tree, so energies agree with the old path to f32 rounding, not
+    bitwise.
     """
     n_real = scal_ref[0, 4]
     w = 3 * cap
     tail = lanes_pad - 27 * cap
     r = pack.r_pad
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        elj_ref[0, 0] = 0.0
+        eew_ref[0, 0] = 0.0
 
     for iz in range(cz):
         if tail and iz == 0:
@@ -639,9 +651,9 @@ def _cell_cols_kernel(pi_ref, pj_ref, occ_ref, scal_ref, out_ref, jbuf_ref,
             out_ref[0, iz, lo:hi, 0:1] = fx
             out_ref[0, iz, lo:hi, 1:2] = fy
             out_ref[0, iz, lo:hi, 2:3] = fz
-            out_ref[0, iz, lo:hi, 3:4] = e_lj
-            out_ref[0, iz, lo:hi, 4:5] = e_ew
-            out_ref[0, iz, lo:hi, 5:8] = jnp.zeros((hi - lo, 3), jnp.float32)
+            out_ref[0, iz, lo:hi, 3:8] = jnp.zeros((hi - lo, 5), jnp.float32)
+            elj_ref[0, 0] += jnp.sum(e_lj)
+            eew_ref[0, 0] += jnp.sum(e_ew)
 
         tile_rows(0, s1)
         if s1 < cap:
@@ -653,8 +665,8 @@ def _cell_cols_kernel(pi_ref, pj_ref, occ_ref, scal_ref, out_ref, jbuf_ref,
 
             @pl.when(occ <= s1)
             def _():
-                # skipped tail slots hold no particles, but the energy
-                # sums read every out row — zero them
+                # skipped tail slots hold no particles; the force gather
+                # can read any row, so keep the tail defined
                 out_ref[0, iz, s1:, :] = jnp.zeros((cap - s1, 8),
                                                    jnp.float32)
 
@@ -778,19 +790,27 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (XY, cz) occupancy
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, cz, cap, 8), lambda c: (c, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((XY, cz, cap, 8), dtype),
+        out_specs=[
+            pl.BlockSpec((1, cz, cap, 8), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((XY, cz, cap, 8), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
         scratch_shapes=[pltpu.VMEM((r, lanes_pad), jnp.float32)],
         interpret=interpret,
     )(pi, pj, occ, scal)
+    out, elj, eew = out
 
     from cavmd_tpu.ops.neighbor import slot_gather_forces
 
-    out = out.reshape(C, cap, 8)
-    forces = slot_gather_forces(out[:, :, :3], clist, n)
-    e_lj = 0.5 * jnp.sum(out[:, :, 3])
-    e_ew = 0.5 * jnp.sum(out[:, :, 4])
+    forces = slot_gather_forces(out.reshape(C, cap, 8), clist, n)
+    e_lj = 0.5 * elj[0, 0]
+    e_ew = 0.5 * eew[0, 0]
     return (forces.astype(position.dtype),
             e_lj.astype(position.dtype), e_ew.astype(position.dtype))
 
@@ -1080,7 +1100,7 @@ def fused_zsort_cols_pallas(position, box_L, clist, cfg,
 
     from cavmd_tpu.ops.neighbor import slot_gather_forces
 
-    forces = slot_gather_forces(out[:, :, :3], clist, n)
+    forces = slot_gather_forces(out, clist, n)
     e_lj = 0.5 * jnp.sum(out[:, :, 3])
     e_ew = 0.5 * jnp.sum(out[:, :, 4])
     return (forces.astype(position.dtype),
@@ -1169,7 +1189,7 @@ def fused_cell_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
 
     from cavmd_tpu.ops.neighbor import slot_gather_forces
 
-    forces = slot_gather_forces(out[:C, :, :3], clist, n)
+    forces = slot_gather_forces(out[:C], clist, n)
     e_lj = 0.5 * jnp.sum(out[:, :, 3])
     e_ew = 0.5 * jnp.sum(out[:, :, 4])
     return (forces.astype(position.dtype),

@@ -145,8 +145,10 @@ def test_pallas_cell_kernel_matches_xla():
 
 def test_pallas_cols_two_tier_bit_identical():
     """The occupancy-predicated two-tier i-row split (s1) must not change
-    results AT ALL: per-row arithmetic and lane-reduction order are
-    identical, so any split point is bit-identical to single-tier."""
+    FORCES at all: per-row arithmetic and lane-reduction order are
+    identical, so any split point is bit-identical to single-tier.
+    Energies accumulate into SMEM scalars per (tier, cell) tile — the
+    grouping depends on s1, so they agree to f32 rounding, not bitwise."""
     from cavmd_tpu.ops.neighbor import CellListConfig, build_cell_list
     from cavmd_tpu.ops.pallas_kernels import fused_cell_cols_pallas
 
@@ -174,8 +176,9 @@ def test_pallas_cols_two_tier_bit_identical():
     for s1 in (8, 16):
         np.testing.assert_array_equal(np.asarray(outs[s1][0]),
                                       np.asarray(ref[0]))
-        assert float(outs[s1][1]) == float(ref[1])
-        assert float(outs[s1][2]) == float(ref[2])
+        assert float(outs[s1][1]) == pytest.approx(float(ref[1]), rel=1e-6)
+        assert float(outs[s1][2]) == pytest.approx(float(ref[2]),
+                                                   rel=1e-6, abs=1e-10)
 
 
 def test_zsort_cols_kernel_matches_xla():
