@@ -586,6 +586,16 @@ def cell_local_positions(position, box_L, clist, cfg):
     return center + off - box * jnp.round(off / box)
 
 
+def _sentinel_tail(buf_ref, r, start, n_real):
+    """Fill buffer lanes [start:] with sentinel rows: far position
+    (rows 0-2), id n (row 4), zeros elsewhere — pairs against them fail
+    the validity mask instead of aliasing particle 0 at the origin."""
+    tail = buf_ref.shape[1] - start
+    buf_ref[:, start:] = jnp.zeros((r, tail), jnp.float32)
+    buf_ref[0:3, start:] = jnp.full((3, tail), 1e6, jnp.float32)
+    buf_ref[4:5, start:] = jnp.broadcast_to(n_real, (1, tail))
+
+
 def _cell_cols_kernel(pi_ref, pj_ref, occ_ref, scal_ref, out_ref, elj_ref,
                       eew_ref, jbuf_ref, *, pack: "CellPallasPack", rc2, cz,
                       cap, lanes_pad, s1):
@@ -629,10 +639,7 @@ def _cell_cols_kernel(pi_ref, pj_ref, occ_ref, scal_ref, out_ref, elj_ref,
 
     for iz in range(cz):
         if tail and iz == 0:
-            # sentinel lane padding: far position (rows 0-2), id n (row 4)
-            jbuf_ref[:, 27 * cap:] = jnp.zeros((r, tail), jnp.float32)
-            jbuf_ref[0:3, 27 * cap:] = jnp.full((3, tail), 1e6, jnp.float32)
-            jbuf_ref[4:5, 27 * cap:] = jnp.broadcast_to(n_real, (1, tail))
+            _sentinel_tail(jbuf_ref, r, 27 * cap, n_real)
         for k in range(9):
             jbuf_ref[:, k * w:(k + 1) * w] = (
                 pj_ref[0, k, :, iz * cap:iz * cap + w]
@@ -671,8 +678,109 @@ def _cell_cols_kernel(pi_ref, pj_ref, occ_ref, scal_ref, out_ref, elj_ref,
                                                    jnp.float32)
 
 
+def _cell_cols_kernel_jsplit(pi_ref, pjA_ref, pjB_ref, occ_ref, flag_ref,
+                             scal_ref, out_ref, elj_ref, eew_ref,
+                             jbufA_ref, jbufB_ref, *,
+                             pack: "CellPallasPack", rc2, cz, cap, cap1,
+                             lanes_padA, lanes_padB, s1):
+    """Two-capacity-class j-window variant of :func:`_cell_cols_kernel`.
+
+    The bucket cap is sized for the max-occupancy cell plus drift margin
+    (45 at N=100k) but the occupancy distribution's bulk sits far below
+    it (mean 20.4, sigma 4.2) — the two-tier i-row split fixed the i-side
+    of that padding, yet every tile still swept 27*cap j-LANES. Here the
+    j-side candidates split at slot ``cap1`` (~mean + 2.6 sigma): class A
+    (slots [0:cap1]) is computed for every cell; class B (slots
+    [cap1:cap]) only where ``flag_ref`` says some cell of the 27-cell
+    neighborhood actually overflows cap1 — 16% of cells at N=100k
+    (measured; bucket occupancy is carried, so the flag is static between
+    rebuilds). The padded lane window drops from 27*cap (1280 at cap 45)
+    to ~27*cap1 + P(flag)*27*(cap-cap1) (~960 effective).
+
+    Class-B contributions ACCUMULATE into the already-written out rows
+    (VMEM read-modify-write), so forces regroup (A-sum + B-sum) and agree
+    with the single-window kernel to f32 rounding, not bitwise — the
+    same accuracy class as the SMEM energy regrouping.
+    """
+    n_real = scal_ref[0, 4]
+    cap2 = cap - cap1
+    wA, wB = 3 * cap1, 3 * cap2
+    r = pack.r_pad
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        elj_ref[0, 0] = 0.0
+        eew_ref[0, 0] = 0.0
+
+    for iz in range(cz):
+        if iz == 0:
+            if lanes_padA != 27 * cap1:
+                _sentinel_tail(jbufA_ref, r, 27 * cap1, n_real)
+            if lanes_padB != 27 * cap2:
+                _sentinel_tail(jbufB_ref, r, 27 * cap2, n_real)
+        for k in range(9):
+            jbufA_ref[:, k * wA:(k + 1) * wA] = (
+                pjA_ref[0, k, :, iz * cap1:iz * cap1 + wA]
+            )
+        pi = pi_ref[0, iz]  # (cap, R)
+        occ = occ_ref[c, iz]
+        flag = flag_ref[c, iz]
+
+        def jrowA(row):  # (1, lanes_padA) — static slice
+            return jbufA_ref[row:row + 1, :]
+
+        def jrowB(row):  # (1, lanes_padB) — static slice
+            return jbufB_ref[row:row + 1, :]
+
+        def tile_a(lo, hi):
+            fx, fy, fz, e_lj, e_ew = _fused_tile(
+                pi[lo:hi], jrowA, scal_ref, pack, rc2, wrap=False
+            )
+            out_ref[0, iz, lo:hi, 0:1] = fx
+            out_ref[0, iz, lo:hi, 1:2] = fy
+            out_ref[0, iz, lo:hi, 2:3] = fz
+            out_ref[0, iz, lo:hi, 3:8] = jnp.zeros((hi - lo, 5), jnp.float32)
+            elj_ref[0, 0] += jnp.sum(e_lj)
+            eew_ref[0, 0] += jnp.sum(e_ew)
+
+        def tile_b_add(lo, hi):
+            fx, fy, fz, e_lj, e_ew = _fused_tile(
+                pi[lo:hi], jrowB, scal_ref, pack, rc2, wrap=False
+            )
+            out_ref[0, iz, lo:hi, 0:1] += fx
+            out_ref[0, iz, lo:hi, 1:2] += fy
+            out_ref[0, iz, lo:hi, 2:3] += fz
+            elj_ref[0, 0] += jnp.sum(e_lj)
+            eew_ref[0, 0] += jnp.sum(e_ew)
+
+        tile_a(0, s1)
+        if s1 < cap:
+            @pl.when(occ > s1)
+            def _():
+                tile_a(s1, cap)
+
+            @pl.when(occ <= s1)
+            def _():
+                out_ref[0, iz, s1:, :] = jnp.zeros((cap - s1, 8),
+                                                   jnp.float32)
+
+        @pl.when(flag > 0)
+        def _():
+            for k in range(9):
+                jbufB_ref[:, k * wB:(k + 1) * wB] = (
+                    pjB_ref[0, k, :, iz * cap2:iz * cap2 + wB]
+                )
+            tile_b_add(0, s1)
+
+        if s1 < cap:
+            @pl.when((flag > 0) & (occ > s1))
+            def _():
+                tile_b_add(s1, cap)
+
+
 def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
-                           kappa, interpret=False, s1=None):
+                           kappa, interpret=False, s1=None, jsplit=None):
     """Column-resident variant of :func:`fused_cell_pallas` (round 2).
 
     Same tile math, different data movement: instead of gathering a
@@ -699,6 +807,12 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
     - **occupancy-predicated two-tier i-rows** (``s1``, see
       :func:`_cell_cols_kernel`): tile rows beyond the occupancy bulk run
       only for the cells that need them.
+    - **two-capacity-class j-windows** (``jsplit``, see
+      :func:`_cell_cols_kernel_jsplit`): the j-lane window splits at slot
+      ``cap1``; the tail class runs only for cells whose 27-cell
+      neighborhood overflows cap1. ``jsplit=None`` auto-picks
+      cap1 ~ mean + 2.6 sigma (8-aligned); ``jsplit=0`` disables (one
+      window, the round-2 behavior — forces then bit-match any ``s1``).
 
     Requires >= 3 cells per axis (no wrapped-neighbor duplicates);
     callers fall back to :func:`fused_cell_pallas` otherwise.
@@ -711,9 +825,19 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
     assert min(cx, cy, cz) >= 3, "cols kernel needs >=3 cells per axis"
     XY = cx * cy
     r = pack.r_pad
-    lanes_pad = _round_up(27 * cap, 128)
-    zcap = (cz + 2) * cap
-    zcap_pad = _round_up(zcap, 128)
+
+    mean_occ = n / max(C, 1)
+    # j-window split slot: the occupancy bulk's upper edge (mean + 2.6
+    # sigma floored to 8 — cap1=32 at N=100k, where 0.7% of cells and 16%
+    # of 27-neighborhoods overflow it; measured histogram in
+    # docs/performance.md). Disabled when the tail class would be thinner
+    # than 8 slots (the predicated copies stop paying for themselves).
+    if jsplit is None:
+        cap1 = int((mean_occ + 2.6 * np.sqrt(mean_occ)) // 8) * 8
+    else:
+        cap1 = int(jsplit)
+    cap1 = max(0, min(cap1, cap))
+    split = cap1 >= 8 and (cap - cap1) >= 8
 
     far = jnp.full((1, 3), jnp.asarray(1e6, dtype))
     # pre-wrapped layout: cell-local particle images (one normalization on
@@ -734,17 +858,9 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
         pi[:, -1:] - box_f[2] * z_shift,
         pi,
         pi[:, :1] + box_f[2] * z_shift,
-    ], axis=1)
-    jsrc = jnp.transpose(zh, (0, 3, 1, 2)).reshape(XY, r, zcap)
-    if zcap_pad != zcap:
-        sent_col = jnp.zeros((r,), dtype).at[:3].set(1e6).at[4].set(float(n))
-        pad = jnp.broadcast_to(
-            sent_col[None, :, None], (XY, r, zcap_pad - zcap)
-        )
-        jsrc = jnp.concatenate([jsrc, pad], axis=2)
+    ], axis=1)  # (XY, cz+2, cap, r)
     xy_nb_np, xy_wraps_np = _xy_neighbor_table_shifts(cx, cy)
     xy_nb = jnp.asarray(xy_nb_np, jnp.int32)
-    pj = jsrc[xy_nb]  # (XY, 9, r, zcap_pad) — 9 big contiguous rows per xy
     # pre-shift the wrapped neighbor copies into this column's image:
     # (XY, 9, r, 1) tensor, nonzero only on the x/y position rows at
     # box-edge columns; one fused broadcast add over the gather output
@@ -757,7 +873,22 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
         + (wraps[..., 1] * box_f[1])[:, :, None, None]
         * row_y[None, None, :, None]
     )
-    pj = pj + xy_shift
+
+    def halo_cols(zh_slice, cap_x):
+        """(XY, cz+2, cap_x, r) slot-slice -> (XY, 9, r, zcap_pad)
+        feature-major neighbor columns with sentinel lane padding."""
+        zcap = (cz + 2) * cap_x
+        zcap_pad = _round_up(zcap, 128)
+        jsrc = jnp.transpose(zh_slice, (0, 3, 1, 2)).reshape(XY, r, zcap)
+        if zcap_pad != zcap:
+            sent_col = (
+                jnp.zeros((r,), dtype).at[:3].set(1e6).at[4].set(float(n))
+            )
+            pad = jnp.broadcast_to(
+                sent_col[None, :, None], (XY, r, zcap_pad - zcap)
+            )
+            jsrc = jnp.concatenate([jsrc, pad], axis=2)
+        return jsrc[xy_nb] + xy_shift, zcap_pad
 
     box = jnp.asarray(box_L, dtype).reshape(3)
     scal = jnp.concatenate(
@@ -772,24 +903,11 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
     if s1 is None:
         # floor-to-8 of mean + 1 sigma: measured optimum at N=100k
         # (occ mean 20.4 -> s1=24: 7.7 ms vs 8.5 at 32, 10.1 single-tier)
-        mean_occ = n / max(C, 1)
         s1 = int((mean_occ + np.sqrt(mean_occ)) // 8) * 8
     s1 = max(8, min(int(s1), cap))
     occ = jnp.sum(idx < n, axis=1, dtype=jnp.int32).reshape(XY, cz)
 
-    kernel = functools.partial(_cell_cols_kernel, pack=pack, rc2=rc2,
-                               cz=cz, cap=cap, lanes_pad=lanes_pad, s1=s1)
-    out = pl.pallas_call(
-        kernel,
-        grid=(XY,),
-        in_specs=[
-            pl.BlockSpec((1, cz, cap, r), lambda c: (c, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, r, zcap_pad), lambda c: (c, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # (XY, cz) occupancy
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+    common_out = dict(
         out_specs=[
             pl.BlockSpec((1, cz, cap, 8), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -801,9 +919,67 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
             jax.ShapeDtypeStruct((1, 1), dtype),
             jax.ShapeDtypeStruct((1, 1), dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((r, lanes_pad), jnp.float32)],
         interpret=interpret,
-    )(pi, pj, occ, scal)
+    )
+
+    if split:
+        cap2 = cap - cap1
+        lanes_padA = _round_up(27 * cap1, 128)
+        lanes_padB = _round_up(27 * cap2, 128)
+        pjA, zcapA_pad = halo_cols(zh[:, :, :cap1], cap1)
+        pjB, zcapB_pad = halo_cols(zh[:, :, cap1:], cap2)
+        # class-B predicate per (column, z-cell): does ANY cell of the
+        # 27-cell neighborhood overflow cap1? Bucket occupancy is carried
+        # between rebuilds, so this is a static per-step scalar table.
+        occ_nb = jnp.max(occ[xy_nb], axis=1)  # (XY, cz) 9-column max
+        over = jnp.maximum(
+            jnp.maximum(jnp.roll(occ_nb, 1, axis=1), occ_nb),
+            jnp.roll(occ_nb, -1, axis=1),
+        )  # periodic z window max
+        flag = (over > cap1).astype(jnp.int32)
+
+        kernel = functools.partial(
+            _cell_cols_kernel_jsplit, pack=pack, rc2=rc2, cz=cz, cap=cap,
+            cap1=cap1, lanes_padA=lanes_padA, lanes_padB=lanes_padB, s1=s1,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(XY,),
+            in_specs=[
+                pl.BlockSpec((1, cz, cap, r), lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 9, r, zcapA_pad), lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 9, r, zcapB_pad), lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # (XY, cz) occupancy
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # (XY, cz) B flag
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((r, lanes_padA), jnp.float32),
+                            pltpu.VMEM((r, lanes_padB), jnp.float32)],
+            **common_out,
+        )(pi, pjA, pjB, occ, flag, scal)
+    else:
+        lanes_pad = _round_up(27 * cap, 128)
+        pj, zcap_pad = halo_cols(zh, cap)
+        kernel = functools.partial(_cell_cols_kernel, pack=pack, rc2=rc2,
+                                   cz=cz, cap=cap, lanes_pad=lanes_pad,
+                                   s1=s1)
+        out = pl.pallas_call(
+            kernel,
+            grid=(XY,),
+            in_specs=[
+                pl.BlockSpec((1, cz, cap, r), lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 9, r, zcap_pad), lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # (XY, cz) occupancy
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((r, lanes_pad), jnp.float32)],
+            **common_out,
+        )(pi, pj, occ, scal)
     out, elj, eew = out
 
     from cavmd_tpu.ops.neighbor import slot_gather_forces

@@ -181,6 +181,45 @@ def test_pallas_cols_two_tier_bit_identical():
                                                    rel=1e-6, abs=1e-10)
 
 
+def test_pallas_cols_jsplit_matches():
+    """Two-capacity-class j-windows (round 3): class-B tiles run only for
+    cells whose 27-neighborhood overflows the split slot cap1. Forces
+    regroup (A-sum + B-sum), so the split kernel matches the
+    single-window kernel to f32 regrouping accuracy — and ``jsplit`` past
+    ``cap - 8`` must disable the split (bitwise-equal path)."""
+    from cavmd_tpu.ops.neighbor import CellListConfig, build_cell_list
+    from cavmd_tpu.ops.pallas_kernels import fused_cell_cols_pallas
+
+    snap = make_diatomic_system(60, box_L=40.0, temperature_K=100.0, seed=3)
+    snap = add_cavity_particle(
+        snap, coupling=1e-3, freq_cm1=2000.0, temperature_K=100.0, seed=4
+    ).astype(jnp.float32)
+    ff = ForceField.create(
+        snap, coupling=1e-3, pair_mode="cell", r_cut=12.0,
+        pppm_mesh=(8, 8, 8), dtype=jnp.float32,
+    )
+    cfg = CellListConfig(*ff.cell_cfg)
+    clist = build_cell_list(snap.position, snap.box_L, cfg, ff.cell_neighbors)
+    occ = np.asarray(jnp.sum(clist.bucket_idx < snap.N, axis=1))
+    assert occ.max() > 8, "test system must make class B fire"
+
+    args = (snap.position, snap.box_L, clist, cfg, ff.cell_pallas_pack,
+            ff.kappa)
+    ref = fused_cell_cols_pallas(*args, interpret=True, jsplit=0)
+    scale = float(jnp.abs(ref[0]).max())
+    for js in (None, 8):
+        out = fused_cell_cols_pallas(*args, interpret=True, jsplit=js)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                                   atol=1e-6 * scale)
+        assert float(out[1]) == pytest.approx(float(ref[1]), rel=1e-5)
+        assert float(out[2]) == pytest.approx(float(ref[2]),
+                                              rel=1e-4, abs=1e-9)
+    # split slot leaving a tail class thinner than 8 -> single window,
+    # bit-identical to jsplit=0
+    thin = fused_cell_cols_pallas(*args, interpret=True, jsplit=cfg.cap - 4)
+    np.testing.assert_array_equal(np.asarray(thin[0]), np.asarray(ref[0]))
+
+
 def test_zsort_cols_kernel_matches_xla():
     """The z-sorted column kernel (round 3): forces/energies must match the
     XLA bucket-tile path at build positions AND after drift (re-wraps
