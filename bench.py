@@ -110,6 +110,52 @@ def bench_replicas(n_rep=8):
     return n_rep * n_chunks * chunk / wall
 
 
+def bench_conservation(n_steps=80_000, burn_in=24_000):
+    """Physics-quality artifact (VERDICT r3 item 2): universe-energy drift
+    over an f32 run at the flagship config, tracked per round the way
+    steps/s is. The reference's only quantitative correctness result is
+    exactly this quantity: universe drift 0.0055 Ha over 50.9 ps
+    (notebook cell 37 / BASELINE.md). Here: ``burn_in`` steps equilibrate
+    the freshly generated lattice (the reference measures on an
+    equilibrated init-0.gsd frame), then ``n_steps`` x 0.25 fs = 20 ps is
+    the measurement window; reports the end-to-end drift, the per-ps
+    drift rate, the sigma around the mean, and the mean/final molecular
+    kinetic temperature (target 100 K).
+    """
+    import jax
+    import numpy as np
+
+    from cavmd_tpu.core import PhysicalConstants as PC
+    from cavmd_tpu.integrate import run_steps, universe_energy
+    from __graft_entry__ import _build
+
+    step, state, snap, ff, methods, kT = _build()
+    runner = jax.jit(lambda s, n: run_steps(step, s, n), static_argnums=(1,))
+    chunk = 1000  # same shape as bench_flagship -> persistent-cache hit
+    for _ in range(burn_in // chunk):
+        state, _ = runner(state, chunk)
+    u, kes = [], []
+    t0 = float(np.asarray(state.time_au))
+    for _ in range(n_steps // chunk):
+        state, obs = runner(state, chunk)
+        u.append(np.asarray(universe_energy(obs), np.float64))
+        kes.append(np.asarray(obs["kinetic_molecular"], np.float64))
+    u = np.concatenate(u)
+    T = (np.concatenate(kes) * 2.0 / (3.0 * (snap.N - 1))
+         / PC.KB_HARTREE_PER_K)
+    span_ps = PC.atomic_units_to_ps(float(np.asarray(state.time_au)) - t0)
+    return {
+        "universe_drift_ha": float(u[-1] - u[0]),
+        "universe_drift_ha_per_ps": float((u[-1] - u[0]) / span_ps),
+        "universe_sigma_ha": float(u.std()),
+        "span_ps": round(span_ps, 3),
+        "mean_T_K": round(float(T.mean()), 1),
+        "final_T_K": round(float(T[-1]), 1),
+        "n_steps": n_steps,
+        "reference_anchor": "0.0055 Ha / 50.9 ps (1.1e-4 Ha/ps), f64 CPU",
+    }
+
+
 def main():
     import jax
 
@@ -129,6 +175,8 @@ def main():
         "ns_per_day_at_0.25fs": round(steps_per_sec * 0.25 * 1e-6 * 86400, 2),
         "baseline_steps_per_sec": BASELINE_STEPS_PER_SEC,
     }
+
+    detail["conservation_f32"] = bench_conservation()
 
     if jax.default_backend() == "tpu":
         ms_100k, n_100k = bench_large_n()

@@ -407,53 +407,47 @@ def run_steps(step_fn, state: MDState, n_steps: int, unroll: int = 4):
 
     - the obs dict is ~15 scalar leaves, and a scan emits one
       dynamic-update-slice per leaf per step — ~10 us/step of pure per-op
-      overhead, 12% of the whole step. Inside the scan the same-dtype
-      scalar leaves are packed into ONE vector (one update-slice); they
-      are unpacked into the original dict right after, so callers see an
-      identical pytree.
+      overhead, 12% of the whole step. Inside the scan the same-(dtype,
+      shape) leaves are packed into ONE stacked array (one update-slice
+      per group); they are unpacked into the original dict right after,
+      so callers see an identical pytree. The packing groups are computed
+      STATICALLY from ``jax.eval_shape`` of one step (no trace-time side
+      channel — a mutated-dict channel would silently desynchronize under
+      retracing or ``jax.checkpoint`` wrapping).
     - the scan is unrolled 4x: at N=501 the step graph is ~60 small ops
       whose inter-op sequencing gaps plus the while-loop bookkeeping are
       ~30% of the step; unrolling amortizes both and lets XLA overlap
       across steps — 103 -> 84 us/step, saturating at unroll=4 (8 gave
       +0.5%). Physics is unchanged: unroll only regroups iterations.
     """
-
-    meta = {}
+    # static packing plan: group obs leaves by (dtype, shape); every
+    # group of >1 leaves is stacked into one scan output
+    obs_sd = jax.eval_shape(step_fn, state)[1]
+    leaves_sd, treedef = jax.tree_util.tree_flatten(obs_sd)
+    by_sig = {}
+    for i, leaf in enumerate(leaves_sd):
+        by_sig.setdefault((leaf.dtype, leaf.shape), []).append(i)
+    groups = [ix for ix in by_sig.values() if len(ix) > 1]
+    in_group = {i for ix in groups for i in ix}
+    rest_ix = [i for i in range(len(leaves_sd)) if i not in in_group]
 
     def body(carry, _):
         new_state, obs = step_fn(carry)
-        leaves, treedef = jax.tree_util.tree_flatten(obs)
-        # group f32 leaves by shape (scalars in the plain step, (B,) rows
-        # under the vmapped replica step); each group packs into one
-        # stacked array -> one update-slice per group instead of per leaf
-        groups = {}
-        for i, leaf in enumerate(leaves):
-            if getattr(leaf, "dtype", None) == jnp.float32:
-                groups.setdefault(leaf.shape, []).append(i)
-        groups = {s: ix for s, ix in groups.items() if len(ix) > 1}
-        packed = [
-            jnp.stack([leaves[i] for i in ix]) for ix in groups.values()
-        ]
-        in_group = {i for ix in groups.values() for i in ix}
-        rest = [leaf for i, leaf in enumerate(leaves) if i not in in_group]
-        meta["treedef"] = treedef
-        meta["groups"] = list(groups.values())
-        meta["n_packed"] = len(packed)
+        leaves = jax.tree_util.tree_flatten(obs)[0]
+        packed = [jnp.stack([leaves[i] for i in ix]) for ix in groups]
+        rest = [leaves[i] for i in rest_ix]
         return new_state, (*packed, *rest)
 
     final, ys = jax.lax.scan(body, state, None, length=n_steps,
                              unroll=min(unroll, max(n_steps, 1)))
-    packed = ys[:meta["n_packed"]]
-    rest = ys[meta["n_packed"]:]
-    treedef = meta["treedef"]
+    packed = ys[:len(groups)]
+    rest = ys[len(groups):]
     leaves_out = [None] * treedef.num_leaves
-    for arr, ix in zip(packed, meta["groups"]):
+    for arr, ix in zip(packed, groups):
         for col, i in enumerate(ix):
             leaves_out[i] = arr[:, col]
-    rest_iter = iter(rest)
-    for i in range(len(leaves_out)):
-        if leaves_out[i] is None:
-            leaves_out[i] = next(rest_iter)
+    for i, leaf in zip(rest_ix, rest):
+        leaves_out[i] = leaf
     return final, jax.tree_util.tree_unflatten(treedef, leaves_out)
 
 

@@ -9,7 +9,7 @@ GSD v1 spec allows that ``cavmd_tpu.io.gsd.GSDFile``'s writer never uses:
 
 - index + namelist regions live in the MIDDLE of the file (between frame
   0's and frame 1's data), not at EOF;
-- index capacity (32) and namelist capacity (16) far exceed use, with
+- index capacity (48) and namelist capacity (24) far exceed use, with
   zero-filled slack the reader must skip;
 - name ids are assigned in an order unrelated to first use (shuffled), so
   id->name mapping cannot be inferred from chunk order;
@@ -82,6 +82,12 @@ def frame_chunks(frame):
             [[1, 0, 0], [1, 0, 0], [0, -1, 0], [0, -1, 0], [0, 0, 0]],
             np.int32)
         common["log/extra"] = np.array([[2.5], [3.5]], np.float64)
+    # logger-embedded chunks with nested (slash-bearing) names, the shape
+    # GSDWriter.append(log_data=...) produces (log/md/time_ps etc.) — read
+    # back through HOOMDTrajectory.read_log against this foreign layout
+    common["log/md/time_ps"] = np.array([[0.5 + frame]], np.float64)
+    common["log/energy/universe"] = np.array(
+        [[-42.0 - frame, 1.0 + frame]], np.float64)
     return common
 
 
@@ -114,7 +120,7 @@ def main(path):
     # frame 0 data first ...
     write_data(0, f0)
     # ... then the index + namelist REGIONS IN THE MIDDLE of the file
-    index_capacity, names_capacity = 32, 16
+    index_capacity, names_capacity = 48, 24
     index_location = len(blob)
     blob.extend(b"\0" * (index_capacity * struct.calcsize(INDEX_FMT)))
     names_location = len(blob)

@@ -366,3 +366,40 @@ def test_brownian_canonical_sampling():
     # k dt/(m gamma) = 0.02 here -> ~+1%; allow 5% total with sampling noise
     assert var_x == pytest.approx(kT / k_trap, rel=0.05)
     assert var_v == pytest.approx(kT, rel=0.05)  # Maxwell resampling, m=1
+
+
+def test_run_steps_mixed_dtype_obs_packing():
+    """``run_steps``' obs packing (static eval_shape plan, VERDICT r3
+    item 7) must round-trip a mixed-dtype obs pytree exactly: f32/f64/i32
+    scalars (packed per dtype group), (B,)-shaped rows, and singleton
+    leaves, with values identical to an unpacked per-step loop."""
+    from cavmd_tpu.integrate.integrator import run_steps
+
+    def step_fn(x):
+        x = x + 1.0
+        obs = {
+            "a_f32": jnp.float32(x) * 2.0,
+            "b_f32": jnp.float32(x) + 0.5,
+            "c_f64": jnp.float64(x) * 3.0,
+            "d_f64": jnp.float64(x) - 1.0,
+            "e_i32": jnp.int32(x),
+            "f_i32": jnp.int32(x) * 7,
+            "lone_bool": x > 2.5,
+            "row_f32": jnp.full((4,), x, jnp.float32),
+            "row2_f32": jnp.full((4,), x * x, jnp.float32),
+        }
+        return x, obs
+
+    x0 = jnp.float64(0.0)
+    final, obs = jax.jit(lambda s: run_steps(step_fn, s, 6))(x0)
+    assert float(final) == 6.0
+    # reference: plain python loop over the same step
+    x, ref = x0, []
+    for _ in range(6):
+        x, o = step_fn(x)
+        ref.append(o)
+    for k in ref[0]:
+        got = np.asarray(obs[k])
+        want = np.stack([np.asarray(o[k]) for o in ref])
+        assert got.dtype == want.dtype, k
+        np.testing.assert_array_equal(got, want, err_msg=k)

@@ -413,6 +413,15 @@ def test_gsd_foreign_file_golden():
     np.testing.assert_array_equal(
         np.asarray(s0.bond_group), [[0, 1], [2, 3]])
     np.testing.assert_array_equal(np.asarray(s0.bond_typeid), [0, 1])
+    # logger-embedding read path (read_log) against the foreign layout:
+    # nested slash-bearing names, per-frame values, absent-chunk None
+    assert t.read_log(0, "md/time_ps")[0] == 0.5
+    assert t.read_log(1, "md/time_ps")[0] == 1.5
+    np.testing.assert_array_equal(
+        t.read_log(1, "energy/universe").ravel(), [-43.0, 2.0])
+    np.testing.assert_array_equal(
+        t.read_log(1, "extra").ravel(), [2.5, 3.5])
+    assert t.read_log(0, "extra") is None
     t.close()
 
     # the generator is deterministic: regenerating must reproduce the
