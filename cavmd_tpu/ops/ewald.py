@@ -209,16 +209,23 @@ def _excl_pair_terms(dr, qq, kappa, dtype):
     kappa = jnp.asarray(kappa, dtype)
     r2 = jnp.sum(dr * dr, axis=1)
     r = jnp.sqrt(r2)
+    # guard r = 0: real bonds never coincide, but the domain-decomposed
+    # layout (parallel/domain.py) pads each shard's bond table with inert
+    # filler pairs (k = q = 0) whose endpoints share one template position;
+    # erf_term is exactly 0 there, so the guarded division returns 0
+    # instead of NaN. For r > 0 the where() passes r through bit-exactly.
+    safe_r = jnp.where(r > 0, r, jnp.ones((), dtype))
+    safe_r2 = jnp.where(r2 > 0, r2, jnp.ones((), dtype))
     erf_term = 1.0 - erfc(kappa * r)
-    energy = jnp.sum(qq * erf_term / r)
+    energy = jnp.sum(qq * erf_term / safe_r)
     two_over_sqrt_pi = jnp.asarray(2.0 / math.sqrt(math.pi), dtype)
     fmag = (
         qq
         * (
-            erf_term / r2
-            - kappa * two_over_sqrt_pi * jnp.exp(-(kappa * r) ** 2) / r
+            erf_term / safe_r2
+            - kappa * two_over_sqrt_pi * jnp.exp(-(kappa * r) ** 2) / safe_r
         )
-        / r
+        / safe_r
     )
     return fmag[:, None] * dr, energy
 
