@@ -131,7 +131,7 @@ def neighbor_cell_table(ncells) -> np.ndarray:
     return out
 
 
-def _rank_and_bucket(order, sorted_bin, n, n_bins, cap):
+def _rank_and_bucket(order, sorted_bin, n, n_bins, cap, n_real_bins=None):
     """Shared bin-and-rank machinery of both bucket layouts.
 
     ``order``: (N,) particle ids in bin-sorted order; ``sorted_bin``:
@@ -146,6 +146,11 @@ def _rank_and_bucket(order, sorted_bin, n, n_bins, cap):
     clamped ranks collide on slot cap-1 and the last writer wins — the
     displaced occupants map to the dump slot so a force gather reads
     zeros rather than the winner's force).
+
+    ``n_real_bins``: bins >= this id are dump bins whose occupancy is
+    allowed to exceed ``cap`` without flagging overflow (the domain
+    layout routes every unbinned row — fillers, photon, ghosts — to one
+    dump bin; the default counts every bin).
     """
     iota = jnp.arange(n, dtype=jnp.int32)
     is_start = jnp.concatenate(
@@ -156,7 +161,10 @@ def _rank_and_bucket(order, sorted_bin, n, n_bins, cap):
     )
     rank = iota - first_of_bin
 
-    overflow = jnp.any(rank >= cap)
+    over = rank >= cap
+    if n_real_bins is not None:
+        over = over & (sorted_bin < n_real_bins)
+    overflow = jnp.any(over)
     rank_c = jnp.minimum(rank, cap - 1)
 
     bucket_idx = jnp.full((n_bins * cap,), n, jnp.int32)

@@ -243,20 +243,22 @@ class DomainData(NamedTuple):
     slot_of: jnp.ndarray  # (S, Mrow) flat ext slot (C_ext*cap = none)
     centers: jnp.ndarray  # (S*Mrow, 3) assigned cell centers
     binned: jnp.ndarray  # (S*Mrow,) bool — row participates in the tiles
+    valid: jnp.ndarray  # (S*Mrow,) bool — row holds a real particle
     bond_k: jnp.ndarray  # (S, nb_cap)
     bond_r0: jnp.ndarray  # (S, nb_cap)
-    halo_feat: jnp.ndarray  # (S, 2, H, F) static features of halo rows
-    res_feat: jnp.ndarray  # (S*Mrow, F) static features of residents
+    send_first: jnp.ndarray  # (S, H) local ids of the FIRST own x-layer
+    send_last: jnp.ndarray  # (S, H) local ids of the LAST own x-layer
+    halo_src: jnp.ndarray  # (S, 2, H) ORIGINAL rows of [left, right] halos
     slab_overflow: jnp.ndarray  # () bool — a slab exceeded nb_cap molecules
     bucket_overflow: jnp.ndarray  # () bool — a cell bucket exceeded cap
 
 
 def _rebuild_one(position, plan: DomainPlan, box_L,
-                 bond_k_per, bond_r0_per, feat_src, pair_inert):
+                 bond_k_per, bond_r0_per, pair_inert):
     """Compute the domain layout for ONE replica (global ops, jit-safe).
 
-    ``feat_src``: (n0+1, F) per-ORIGINAL-row static feature rows (the
-    last row is the sentinel/filler template). Returns a DomainData.
+    Returns a DomainData. Static per-row tables (pair features, Pallas
+    pack rows) are assembled by the runner from ``perm``/``halo_src``.
     """
     from cavmd_tpu.ops.neighbor import _rank_and_bucket
 
@@ -322,7 +324,8 @@ def _rebuild_one(position, plan: DomainPlan, box_L,
 
     sort_order = jnp.argsort(bin_id, stable=True).astype(jnp.int32)
     bucket_d, bucket_overflow, slot_of_d = _rank_and_bucket(
-        sort_order, bin_id[sort_order], S * Mrow, S * C_ext + 1, cap
+        sort_order, bin_id[sort_order], S * Mrow, S * C_ext + 1, cap,
+        n_real_bins=S * C_ext,
     )
     bucket_d = bucket_d[:-1]  # drop the dump bin
     # bucket entries: domain rows -> per-shard LOCAL ids (sentinel Mtot)
@@ -355,12 +358,15 @@ def _rebuild_one(position, plan: DomainPlan, box_L,
         jnp.roll(occ_first, -1, axis=0),
         Mrow + H + jnp.arange(H, dtype=jnp.int32).reshape(layer, cap), Mtot,
     )
+    # per-step halo exchange sources: the SENDER extracts its own edge
+    # layers in this same slot order (empty slots send garbage the
+    # receiver's Mtot sentinels never read)
+    send_first = own[:, :layer].reshape(S, H)
+    send_last = own[:, -layer:].reshape(S, H)
     buckets = buckets.at[:, :layer].set(left_ids)
     buckets = buckets.at[:, -layer:].set(right_ids)
 
-    # ---- static features ----
-    res_feat = feat_src[jnp.minimum(perm, n0)]  # (S*Mrow, F)
-    # halo features: gather the neighbor layers' ORIGINAL rows
+    # ---- halo static-row sources: the neighbor layers' ORIGINAL rows ----
     own_dom = bucket_d.reshape(S, C_ext, cap)[:, layer:(cxl + 1) * layer]
     first_orig = jnp.where(
         own_dom[:, :layer] < S * Mrow,
@@ -372,9 +378,7 @@ def _rebuild_one(position, plan: DomainPlan, box_L,
     )
     left_src = jnp.roll(last_orig, 1, axis=0).reshape(S, H)
     right_src = jnp.roll(first_orig, -1, axis=0).reshape(S, H)
-    halo_feat = jnp.stack(
-        [feat_src[left_src], feat_src[right_src]], axis=1
-    )  # (S, 2, H, F)
+    halo_src = jnp.stack([left_src, right_src], axis=1)  # (S, 2, H)
 
     # ---- assigned cell centers (for the per-step coverage invariant) ----
     g3 = jnp.stack(
@@ -392,7 +396,618 @@ def _rebuild_one(position, plan: DomainPlan, box_L,
 
     return DomainData(
         perm=perm, inv_slot=inv_slot, buckets=buckets, slot_of=slot_of,
-        centers=centers, binned=binned, bond_k=bond_k, bond_r0=bond_r0,
-        halo_feat=halo_feat, res_feat=res_feat,
+        centers=centers, binned=binned, valid=(perm < n0),
+        bond_k=bond_k, bond_r0=bond_r0,
+        send_first=send_first, send_last=send_last, halo_src=halo_src,
         slab_overflow=slab_overflow, bucket_overflow=bucket_overflow,
     )
+
+
+class LocalState(NamedTuple):
+    """Per-shard dynamic rows (global layout: (S*Mrow, ...) leaves)."""
+
+    position: jnp.ndarray  # (Mrow, 3)
+    image: jnp.ndarray  # (Mrow, 3) int32
+    velocity: jnp.ndarray  # (Mrow, 3)
+    forces: jnp.ndarray  # (Mrow, 3) cached F(t)
+    mass: jnp.ndarray  # (Mrow,)
+    charge: jnp.ndarray  # (Mrow,)
+    typeid: jnp.ndarray  # (Mrow,) int32
+
+
+class RepState(NamedTuple):
+    """Replicated scalars carried through the chunk scan."""
+
+    box_L: jnp.ndarray
+    dt: jnp.ndarray
+    time_au: jnp.ndarray
+    time_comp: jnp.ndarray
+    timestep: jnp.ndarray
+    key: jnp.ndarray
+    bussi_reservoir: jnp.ndarray
+    bussi_reservoir_rot: jnp.ndarray
+    bussi_instantaneous: jnp.ndarray
+    langevin_reservoir: jnp.ndarray
+    mttk: MTTKState
+
+
+class ShardData(NamedTuple):
+    """Chunk-static per-shard tables (leading axis S*local, P('atoms'))."""
+
+    buckets: jnp.ndarray  # (S*C_ext, cap)
+    slot: jnp.ndarray  # (S*Mtot,) flat ext slot per local id
+    centers: jnp.ndarray  # (S*Mrow, 3)
+    binned: jnp.ndarray  # (S*Mrow,)
+    valid: jnp.ndarray  # (S*Mrow,)
+    bond_k: jnp.ndarray  # (S*nb_cap,)
+    bond_r0: jnp.ndarray  # (S*nb_cap,)
+    send_first: jnp.ndarray  # (S*H,)
+    send_last: jnp.ndarray  # (S*H,)
+    feat: jnp.ndarray  # (S*(Mtot+1), F) pair features incl. sentinel row
+    pack_rows: jnp.ndarray = None  # (S*(Mtot+1), R-3) Pallas static rows
+
+
+def _ke_local(velocity, mass, mask):
+    w = jnp.where(mask, mass, jnp.zeros((), velocity.dtype))
+    return 0.5 * jnp.sum(w[:, None] * velocity * velocity)
+
+
+def _validate_methods(methods):
+    for m in methods:
+        ok = m.kind in ("bussi", "mttk", "berendsen", "nve") or (
+            m.kind == "langevin"
+            and m.group == "cavity"
+            and m.indices is not None
+            and len(m.indices) == 1
+        )
+        if not ok:
+            raise ValueError(
+                f"domain decomposition does not support method "
+                f"kind={m.kind!r} group={m.group!r} (supported: bussi/mttk/"
+                "berendsen/nve baths + single-photon cavity langevin)"
+            )
+
+
+def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
+                     axis=AXIS, use_pallas=False, interpret=False,
+                     cell_block=None):
+    """Build the per-shard fused MD step run inside ``shard_map``.
+
+    Same physics protocol as ``integrator.make_step_fn`` (two-half-step
+    thermostats + velocity-Verlet + all forces, SURVEY.md §3.2) — but
+    every per-particle op touches only this shard's resident rows, and the
+    cross-shard communication is explicit: one halo ``ppermute`` pair per
+    step (2 x (H, 3) rows — vs the GSPMD cell path's all-gather of ALL N
+    positions), one bundled ``psum`` of the force-stage scalars + the PPPM
+    partial grid (VERDICT r3 item 5), and scalar psums for the group-KE
+    reductions the thermostats need (the TPU equivalent of the MPI
+    reductions the reference inherits, src/Thermostat.h:297-303).
+
+    RNG draws are scalar/replicated and use the SAME stream keys as the
+    unsharded step, so trajectories match it to f64 roundoff.
+
+    ``use_pallas``: run the tile pass in the Pallas cell kernel
+    (f32; ``interpret=True`` emulates it off-TPU) — the round-3 gap this
+    module exists to close: GSPMD cannot partition a ``pallas_call``, but
+    under ``shard_map`` each shard runs the kernel on its own slab.
+    """
+    from cavmd_tpu.ops.neighbor import cell_pair_force
+
+    _validate_methods(methods)
+    S, Mrow, H, Mtot = plan.S, plan.Mrow, plan.H, plan.Mtot
+    nb_cap = plan.nb_cap
+    l_typeid, ghost_typeid = ff.l_typeid, ff.ghost_typeid
+    cfg = CellListConfig(
+        ncells=(plan.cxl + 2, plan.ncells[1], plan.ncells[2]),
+        cap=plan.cap, r_cut=plan.r_cut, skin=0.0,
+    )
+    ext_nb = jnp.asarray(_ext_neighbor_table(plan), jnp.int32)
+    # static local exclusion table: resident r's bond partner is r^1
+    # (molecules stay whole per shard); halo/tail rows exclude nothing
+    excl_np = np.full((Mtot + 1, 1), Mtot, np.int32)
+    rr = np.arange(2 * nb_cap)
+    excl_np[rr, 0] = rr ^ 1
+    excl_tab = jnp.asarray(excl_np)
+    kern = make_fused_cell_kernel(
+        ff.lj_eps, ff.lj_sigma, ff.lj_rcut, ff.kappa, ff.n_types,
+        uniform_rcut=ff.uniform_rcut,
+    )
+    base_pack = ff.cell_pallas_pack
+    if use_pallas and base_pack is None:
+        raise ValueError("use_pallas needs ff.cell_pallas_pack (uniform "
+                         "cutoff with LJ+Coulomb enabled)")
+    mesh_k = tuple(ff.pppm_mesh)
+    order = ff.pppm_order
+    has_photon = plan.photon_row >= 0 and ff.enable_cavity
+    fwd = [(i, (i + 1) % S) for i in range(S)]
+    bwd = [(i, (i - 1) % S) for i in range(S)]
+
+    from cavmd_tpu.ops.pppm import (
+        _PPPM_PRECISION,
+        _mesh_energy,
+        _spread_matrices,
+    )
+
+    def step(loc: LocalState, rep: RepState, dat: ShardData):
+        dtype = loc.position.dtype
+        dt = rep.dt
+        box = rep.box_L
+        v = loc.velocity
+        mol_mask = dat.valid & (loc.typeid != l_typeid)
+        if ghost_typeid >= 0:
+            mol_mask = mol_mask & (loc.typeid != ghost_typeid)
+        cav_mask = dat.valid & (loc.typeid == l_typeid)
+        masks = {"molecular": mol_mask, "cavity": cav_mask,
+                 "all": dat.valid}
+        bussi_res = rep.bussi_reservoir
+        bussi_inst = rep.bussi_instantaneous
+        lang_res = rep.langevin_reservoir
+        mttk = rep.mttk
+
+        # ---- thermostat half 1 (group KE = local partial + one psum) ----
+        for i, m in enumerate(methods):
+            mask = masks[m.group]
+            slot = group_slot(m.group)
+            if m.kind == "bussi":
+                K = jax.lax.psum(_ke_local(v, loc.mass, mask), axis)
+                key = stream_key(rep.key, STREAM_BUSSI, rep.timestep, i)
+                alpha = bussi_rescale_factor(
+                    K, m.dof, dt, jnp.asarray(m.tau, dtype),
+                    jnp.asarray(m.kT, dtype), key,
+                )
+                v = jnp.where(mask[:, None], alpha * v, v)
+                dres = K * (1.0 - alpha * alpha)
+                bussi_res = bussi_res.at[slot].add(dres)
+                bussi_inst = bussi_inst.at[slot].set(dres)
+            elif m.kind == "mttk":
+                alpha = mttk_rescale_factor(
+                    MTTKState(xi=mttk.xi[slot], eta=mttk.eta[slot]), dt
+                )
+                v = jnp.where(mask[:, None], alpha * v, v)
+            elif m.kind == "berendsen":
+                K = jax.lax.psum(_ke_local(v, loc.mass, mask), axis)
+                cur_T = 2.0 * K / m.dof
+                lam = berendsen_factor(
+                    cur_T, jnp.asarray(m.kT, dtype), dt,
+                    jnp.asarray(m.tau, dtype),
+                )
+                v = jnp.where(mask[:, None], lam * v, v)
+
+        # ---- velocity Verlet ----
+        inv_m = 1.0 / loc.mass[:, None]
+        v = v + 0.5 * dt * loc.forces * inv_m
+        pos = loc.position + dt * v
+        pos, img = rewrap(pos, loc.image, box)
+
+        # ---- per-step coverage invariant (failure channel) ----
+        # every binned atom must sit within (width - r_cut)/2 of its
+        # assigned cell box per axis; then any pair < r_cut is inside one
+        # 27-stencil (see plan_domain). Violations surface as
+        # cell_overflow, where the driver's re-plan + retry recovery
+        # already listens (SURVEY.md §5).
+        widths = jnp.asarray(plan.widths, dtype)
+        lim = widths - jnp.asarray(0.5 * plan.r_cut, dtype)  # w/2+(w-rc)/2
+        dctr = minimum_image(pos - dat.centers, box)
+        bad = jnp.any((jnp.abs(dctr) > lim[None, :]) & dat.binned[:, None])
+
+        # ---- halo exchange: 2 x (H, 3) position rows over the ring ----
+        pos_last = pos[jnp.minimum(dat.send_last, Mrow - 1)]
+        pos_first = pos[jnp.minimum(dat.send_first, Mrow - 1)]
+        left = jax.lax.ppermute(pos_last, axis, fwd)
+        right = jax.lax.ppermute(pos_first, axis, bwd)
+        pos_tab = jnp.concatenate([pos, left, right])  # (Mtot, 3)
+
+        # ---- pair tile pass over the extended local grid ----
+        clist = CellList(
+            bucket_idx=dat.buckets,
+            overflow=jnp.zeros((), jnp.bool_),
+            neighbor_cells=ext_nb,
+            slot_of=dat.slot,
+        )
+        if use_pallas:
+            from cavmd_tpu.ops.pallas_kernels import fused_cell_pallas
+
+            lpack = base_pack._replace(static_rows=dat.pack_rows)
+            f_tab, e_lj, e_ew = fused_cell_pallas(
+                pos_tab, box, clist, cfg, lpack, ff.kappa,
+                interpret=interpret,
+            )
+        else:
+            f_tab, (e_lj, e_ew) = cell_pair_force(
+                pos_tab, box, clist, cfg, kern,
+                features=dat.feat, exclusions=excl_tab,
+                cell_block=cell_block,
+            )
+        forces = f_tab[:Mrow].astype(dtype)
+
+        # ---- bonds + Ewald corrections (shard-local strided rows) ----
+        f_b, e_bond = harmonic_bond_force_strided(
+            pos, box, nb_cap, dat.bond_k, dat.bond_r0
+        )
+        forces = forces + f_b
+        f_corr, e_corr = ewald_exclusion_correction_strided(
+            pos, box, loc.charge, ff.kappa, nb_cap
+        )
+        e_self_loc = ewald_self_energy(loc.charge, ff.kappa)
+
+        # ---- PPPM: per-shard spread, ONE grid psum, replicated solve ----
+        Kx, Ky, Kz = mesh_k
+
+        def spread(p):
+            Sx, Sy, Sz = _spread_matrices(p, box, order, mesh_k)
+            A = loc.charge[:, None] * Sx
+            Bm = (Sy[:, :, None] * Sz[:, None, :]).reshape(Mrow, Ky * Kz)
+            return jnp.dot(A.T, Bm, precision=_PPPM_PRECISION,
+                           preferred_element_type=dtype)
+
+        grid_loc, spread_vjp = jax.vjp(spread, pos)
+
+        # ---- cavity partial sums (photon excluded from the dipole) ----
+        unw = unwrap_positions(pos, img, box)
+        wq = jnp.where(cav_mask, jnp.zeros((), dtype), loc.charge)
+        dip_loc = jnp.sum(wq[:, None] * unw, axis=0)
+        qph_loc = jnp.sum(
+            jnp.where(cav_mask[:, None], unw, jnp.zeros((), dtype)), axis=0
+        )
+
+        # ---- ONE bundled force-stage psum ----
+        (grid_tot, e_lj, e_ew, e_bond, e_corr, e_self, dip, qph,
+         violf) = jax.lax.psum(
+            (grid_loc, e_lj.astype(dtype), e_ew.astype(dtype), e_bond,
+             e_corr, e_self_loc, dip_loc, qph_loc,
+             bad.astype(dtype)),
+            axis,
+        )
+
+        # PPPM finish: replicated tiny solve; forces through the LOCAL
+        # spread's analytic vjp — NOT jax.grad through the psum (each
+        # shard's returned energy is the same replicated scalar, so
+        # differentiating through the collective would overcount by S)
+        e_rec, mesh_vjp = jax.vjp(
+            lambda g: _mesh_energy(
+                g.reshape(Kx, 1, Ky, Kz), ff.pppm, mesh_k
+            )[0].astype(dtype),
+            grid_tot,
+        )
+        (g_ct,) = mesh_vjp(jnp.ones((), dtype))
+        (pg,) = spread_vjp(g_ct)
+        forces = forces - pg - f_corr
+
+        energies = {
+            "harmonic": e_bond,
+            "lj": e_lj,
+            "ewald_short": e_ew,
+            "ewald_long": e_rec - e_self - e_corr,
+            "cavity_harmonic": jnp.zeros((), dtype),
+            "cavity_coupling": jnp.zeros((), dtype),
+            "cavity_dipole_self": jnp.zeros((), dtype),
+            "cell_overflow": jnp.minimum(violf, 1.0),
+        }
+
+        if has_photon:
+            xy = jnp.asarray([1.0, 1.0, 0.0], dtype)
+            q_xy = qph * xy
+            d_xy = dip * xy
+            Kc = ff.cavity.K.astype(dtype)
+            g = ff.cavity.couplstr.astype(dtype)
+            energies["cavity_harmonic"] = 0.5 * Kc * jnp.dot(qph, qph)
+            energies["cavity_coupling"] = g * jnp.dot(d_xy, q_xy)
+            energies["cavity_dipole_self"] = (
+                0.5 * (g * g / Kc) * jnp.dot(d_xy, d_xy)
+            )
+            Dq = q_xy + (g / Kc) * d_xy
+            f_mol = (-g * loc.charge)[:, None] * Dq[None, :] * xy[None, :]
+            f_ph = -Kc * qph - g * d_xy
+            forces = forces + jnp.where(
+                cav_mask[:, None], f_ph[None, :], f_mol
+            )
+
+        v = v + 0.5 * dt * forces * inv_m
+
+        # ---- thermostat half 2 (MTTK) + cavity Langevin O-step ----
+        for i, m in enumerate(methods):
+            mask = masks[m.group]
+            slot = group_slot(m.group)
+            if m.kind == "mttk":
+                st = MTTKState(xi=mttk.xi[slot], eta=mttk.eta[slot])
+                alpha = mttk_rescale_factor(st, dt)
+                v = jnp.where(mask[:, None], alpha * v, v)
+                K = jax.lax.psum(_ke_local(v, loc.mass, mask), axis)
+                cur_T = 2.0 * K / m.dof
+                st = mttk_advance(
+                    st, cur_T, jnp.asarray(m.kT, dtype), m.dof, dt,
+                    jnp.asarray(m.tau, dtype),
+                )
+                mttk = MTTKState(
+                    xi=mttk.xi.at[slot].set(st.xi),
+                    eta=mttk.eta.at[slot].set(st.eta),
+                )
+            elif m.kind == "langevin":
+                # exact-OU photon kick; the (1, 3) draw is the SAME the
+                # unsharded indices path makes, so trajectories match
+                key = stream_key(rep.key, STREAM_LANGEVIN, rep.timestep, i)
+                c = jnp.exp(-jnp.asarray(m.gamma, dtype) * dt)
+                noise = jax.random.normal(key, (1, 3), dtype=dtype)
+                sigma = jnp.sqrt(
+                    (1.0 - c * c) * jnp.asarray(m.kT, dtype) / loc.mass
+                )[:, None]
+                new_v = jnp.where(
+                    mask[:, None], c * v + sigma * noise, v
+                )
+                dres = jax.lax.psum(
+                    _ke_local(v, loc.mass, mask)
+                    - _ke_local(new_v, loc.mass, mask),
+                    axis,
+                )
+                v = new_v
+                lang_res = lang_res.at[slot].add(dres)
+
+        # ---- bookkeeping + observables ----
+        ke_mol, ke_cav = jax.lax.psum(
+            (_ke_local(v, loc.mass, mol_mask),
+             _ke_local(v, loc.mass, cav_mask)),
+            axis,
+        )
+        y = dt - rep.time_comp
+        t_new = rep.time_au + y
+        comp_new = (t_new - rep.time_au) - y
+
+        new_loc = LocalState(
+            position=pos, image=img, velocity=v, forces=forces,
+            mass=loc.mass, charge=loc.charge, typeid=loc.typeid,
+        )
+        new_rep = RepState(
+            box_L=box, dt=dt, time_au=t_new, time_comp=comp_new,
+            timestep=rep.timestep + 1, key=rep.key,
+            bussi_reservoir=bussi_res,
+            bussi_reservoir_rot=rep.bussi_reservoir_rot,
+            bussi_instantaneous=bussi_inst,
+            langevin_reservoir=lang_res, mttk=mttk,
+        )
+        obs = dict(energies)
+        obs["kinetic_molecular"] = ke_mol
+        obs["kinetic_cavity"] = ke_cav
+        obs["bussi_reservoir_molecular"] = bussi_res[0]
+        obs["bussi_reservoir_cavity"] = bussi_res[1]
+        obs["langevin_reservoir_molecular"] = lang_res[0]
+        obs["langevin_reservoir_cavity"] = lang_res[1]
+        obs["dt"] = dt
+        obs["time_au"] = new_rep.time_au
+        obs["timestep"] = new_rep.timestep
+        return new_loc, new_rep, obs
+
+    return step
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map across JAX versions. Replication checking is disabled:
+    every replicated output here is replicated by construction (psum
+    results and pass-through scalars), and the checker rejects some
+    legitimate patterns (e.g. replicated PRNG draws) on older versions."""
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
+def _scatter_in(state: MDState, data: DomainData, plan: DomainPlan,
+                ff: ForceField, pack):
+    """Gather the global MDState into the domain layout (+ static tables).
+
+    Filler rows (perm = n0) read a template row: origin position, zero
+    velocity/charge, unit mass, typeid -1 — inert everywhere (they are
+    unbinned, their bond/PPPM terms carry k = q = 0, and the r = 0 guards
+    in ops/bonds.py / ops/ewald.py cover the degenerate geometry).
+    """
+    dtype = state.position.dtype
+    n0 = plan.n0
+    S, Mrow, H, Mtot = plan.S, plan.Mrow, plan.H, plan.Mtot
+    perm = data.perm
+
+    def gather(a, fill):
+        return jnp.concatenate([a, fill])[perm]
+
+    loc = LocalState(
+        position=gather(state.position, jnp.zeros((1, 3), dtype)),
+        image=gather(state.image, jnp.zeros((1, 3), state.image.dtype)),
+        velocity=gather(state.velocity, jnp.zeros((1, 3), dtype)),
+        forces=gather(state.forces, jnp.zeros((1, 3), dtype)),
+        mass=gather(state.mass, jnp.ones((1,), dtype)),
+        charge=gather(state.charge, jnp.zeros((1,), dtype)),
+        typeid=gather(state.typeid,
+                      jnp.full((1,), -1, state.typeid.dtype)),
+    )
+
+    # pair feature table per shard: residents + [left, right] halos +
+    # one sentinel row (the layout cell_pair_force expects)
+    feat_src = ff.cell_features  # (n0+1, F)
+    F = feat_src.shape[1]
+    res_feat = feat_src[jnp.minimum(perm, n0)].reshape(S, Mrow, F)
+    halo_feat = feat_src[data.halo_src.reshape(S, 2 * H)]
+    feat = jnp.concatenate(
+        [res_feat, halo_feat, jnp.zeros((S, 1, F), feat_src.dtype)], axis=1
+    ).reshape(S * (Mtot + 1), F)
+
+    # flat ext slot per LOCAL id: residents from the rebuild; halo ids
+    # read the dump slot (their tile rows are sentineled to zero force)
+    slot = jnp.concatenate(
+        [data.slot_of,
+         jnp.full((S, 2 * H), plan.C_ext * plan.cap, jnp.int32)], axis=1
+    ).reshape(S * Mtot)
+
+    pack_rows = None
+    if pack is not None:
+        src = pack.static_rows  # (n0+1, R-3) f32
+        R3 = src.shape[1]
+        rows = jnp.concatenate(
+            [src[jnp.minimum(perm, n0)].reshape(S, Mrow, R3),
+             src[data.halo_src.reshape(S, 2 * H)],
+             jnp.zeros((S, 1, R3), src.dtype)], axis=1
+        )  # (S, Mtot+1, R-3)
+        # rewrite the id column and exclusion ids to LOCAL ids (the
+        # kernel's pair-activity and exclusion compares are id-based)
+        lid = jnp.arange(Mtot + 1, dtype=src.dtype)
+        rows = rows.at[:, :, 1].set(lid[None, :])
+        ex0 = 2 + pack.n_types_active
+        exc = jnp.full((Mtot + 1, pack.max_excl), float(Mtot), src.dtype)
+        rrl = jnp.arange(2 * plan.nb_cap)
+        exc = exc.at[rrl, 0].set((rrl ^ 1).astype(src.dtype))
+        rows = rows.at[:, :, ex0:ex0 + pack.max_excl].set(exc[None])
+        pack_rows = rows.reshape(S * (Mtot + 1), R3)
+
+    dat = ShardData(
+        buckets=data.buckets.reshape(S * plan.C_ext, plan.cap),
+        slot=slot,
+        centers=data.centers,
+        binned=data.binned,
+        valid=data.valid,
+        bond_k=data.bond_k.reshape(S * plan.nb_cap),
+        bond_r0=data.bond_r0.reshape(S * plan.nb_cap),
+        send_first=data.send_first.reshape(S * H),
+        send_last=data.send_last.reshape(S * H),
+        feat=feat,
+        pack_rows=pack_rows,
+    )
+    rep = RepState(
+        box_L=state.box_L, dt=state.dt, time_au=state.time_au,
+        time_comp=state.time_comp, timestep=state.timestep, key=state.key,
+        bussi_reservoir=state.bussi_reservoir,
+        bussi_reservoir_rot=state.bussi_reservoir_rot,
+        bussi_instantaneous=state.bussi_instantaneous,
+        langevin_reservoir=state.langevin_reservoir,
+        mttk=state.mttk,
+    )
+    return loc, dat, rep
+
+
+def _scatter_out(state: MDState, data: DomainData, loc: LocalState,
+                 rep: RepState, plan: DomainPlan) -> MDState:
+    """Scatter domain rows back into the global MDState layout.
+
+    Rows absent from the domain layout (sharding-padding ghosts) keep
+    their previous global state — they are pinned and forceless on both
+    paths.
+    """
+    n0 = plan.n0
+    SM = plan.S * plan.Mrow
+    present = jnp.zeros((n0,), jnp.bool_).at[data.perm].set(
+        True, mode="drop"
+    )
+    idx = jnp.minimum(data.inv_slot, SM - 1)
+
+    def back(glob, flat):
+        upd = flat[idx]
+        mask = present[:, None] if glob.ndim == 2 else present
+        return jnp.where(mask, upd, glob)
+
+    return state.replace(
+        position=back(state.position, loc.position),
+        image=back(state.image, loc.image),
+        velocity=back(state.velocity, loc.velocity),
+        forces=back(state.forces, loc.forces),
+        time_au=rep.time_au,
+        time_comp=rep.time_comp,
+        timestep=rep.timestep,
+        bussi_reservoir=rep.bussi_reservoir,
+        bussi_reservoir_rot=rep.bussi_reservoir_rot,
+        bussi_instantaneous=rep.bussi_instantaneous,
+        langevin_reservoir=rep.langevin_reservoir,
+        mttk=rep.mttk,
+    )
+
+
+def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
+                       mesh=None, *, rebuild_every: int = 10,
+                       use_pallas: bool | None = None,
+                       interpret: bool = False, cell_block=None):
+    """Build ``run(state, n_steps) -> (state, obs)`` over the slab mesh.
+
+    The drop-in domain-decomposed counterpart of
+    ``integrator.run_steps(make_step_fn(...), ...)``: same obs contract
+    (per-step energy audit + reservoirs + ``cell_overflow`` failure
+    channel), trajectories matching the unsharded runner to f64 roundoff.
+
+    Residency/bucket structure is re-established every ``rebuild_every``
+    steps outside ``shard_map``; between rebuilds each step runs entirely
+    shard-local except one halo ppermute pair + a handful of psums (see
+    ``make_domain_step``). ``use_pallas`` defaults to True on a TPU
+    backend (f32) — the Pallas tile kernel per shard — and False
+    elsewhere (the XLA tile path; ``interpret=True`` forces the Pallas
+    kernel in interpret mode for off-TPU validation).
+    """
+    from jax.sharding import Mesh
+
+    if mesh is None:
+        devs = jax.devices()[:plan.S]
+        if len(devs) < plan.S:
+            raise ValueError(
+                f"{plan.S} slabs need {plan.S} devices; have {len(devs)}"
+            )
+        mesh = Mesh(np.asarray(devs), (AXIS,))
+    msize = dict(zip(mesh.axis_names, mesh.devices.shape))[AXIS]
+    if msize != plan.S:
+        raise ValueError(f"mesh axis '{AXIS}' has {msize} devices, "
+                         f"plan has {plan.S} slabs")
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and ff.cell_pallas_pack is not None)
+    step = make_domain_step(
+        ff, methods, plan, use_pallas=use_pallas or interpret,
+        interpret=interpret, cell_block=cell_block,
+    )
+    pack = ff.cell_pallas_pack if (use_pallas or interpret) else None
+
+    lspec, rspec = P(AXIS), P()
+    chunk_cache = {}
+
+    def chunk(k: int):
+        if k not in chunk_cache:
+            def run_chunk(loc, rep, dat):
+                def body(carry, _):
+                    l, r = carry
+                    l, r, obs = step(l, r, dat)
+                    return (l, r), obs
+
+                (loc2, rep2), obs = jax.lax.scan(
+                    body, (loc, rep), None, length=k
+                )
+                return loc2, rep2, obs
+
+            chunk_cache[k] = _shard_map(
+                run_chunk, mesh,
+                in_specs=(lspec, rspec, lspec),
+                out_specs=(lspec, rspec, rspec),
+            )
+        return chunk_cache[k]
+
+    def _run(state: MDState, n_steps: int):
+        dtype = state.position.dtype
+        obs_parts = []
+        for start in range(0, n_steps, rebuild_every):
+            k = min(rebuild_every, n_steps - start)
+            data = _rebuild_one(
+                state.position, plan, state.box_L,
+                ff.bond_k_per, ff.bond_r0_per, ff.pair_inert,
+            )
+            loc, dat, rep = _scatter_in(state, data, plan, ff, pack)
+            loc, rep, obs = chunk(k)(loc, rep, dat)
+            state = _scatter_out(state, data, loc, rep, plan)
+            # rebuild-time failures join the same channel as the per-step
+            # coverage invariant (driver re-plans via plan.grow_cap /
+            # nb_margin and retries the chunk)
+            ovf = (data.slab_overflow | data.bucket_overflow).astype(dtype)
+            obs["cell_overflow"] = jnp.maximum(obs["cell_overflow"], ovf)
+            obs_parts.append(obs)
+        if len(obs_parts) == 1:
+            obs = obs_parts[0]
+        else:
+            obs = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs), *obs_parts
+            )
+        return state, obs
+
+    return jax.jit(_run, static_argnames=("n_steps",))
