@@ -110,14 +110,16 @@ def bench_replicas(n_rep=8):
     return n_rep * n_chunks * chunk / wall
 
 
-def bench_conservation(n_steps=80_000, burn_in=24_000):
+def bench_conservation(n_steps=80_000, burn_in=120_000):
     """Physics-quality artifact (VERDICT r3 item 2): universe-energy drift
     over an f32 run at the flagship config, tracked per round the way
     steps/s is. The reference's only quantitative correctness result is
     exactly this quantity: universe drift 0.0055 Ha over 50.9 ps
-    (notebook cell 37 / BASELINE.md). Here: ``burn_in`` steps equilibrate
-    the freshly generated lattice (the reference measures on an
-    equilibrated init-0.gsd frame), then ``n_steps`` x 0.25 fs = 20 ps is
+    (notebook cell 37 / BASELINE.md). Here: ``burn_in`` steps (30 ps,
+    ~6 bath tau) equilibrate the freshly generated lattice (the reference
+    measures on an equilibrated init-0.gsd frame; the LJ lattice releases
+    potential energy for the first ~4 tau, measured mean T 183 K at a
+    6 ps burn-in vs 112 K at 30 ps), then ``n_steps`` x 0.25 fs = 20 ps is
     the measurement window; reports the end-to-end drift, the per-ps
     drift rate, the sigma around the mean, and the mean/final molecular
     kinetic temperature (target 100 K).

@@ -121,9 +121,15 @@ class DomainPlan(NamedTuple):
         return self.Mrow + 2 * self.H
 
     def grow_cap(self):
-        """Overflow recovery: re-plan with a doubled bucket capacity
-        (shares the driver's ``_grow_cell_capacity`` semantics)."""
-        return self._replace(cap=max(self.cap + 4, self.cap * 2))
+        """Overflow recovery: re-plan with a doubled bucket capacity and
+        half-again molecule slots per slab — covers both failure modes the
+        rebuild flags (shares the driver's ``_grow_cell_capacity``
+        semantics: re-plan and retry instead of aborting)."""
+        nb = self.nb_cap + self.nb_cap // 2 + 4
+        return self._replace(
+            cap=max(self.cap + 4, self.cap * 2),
+            nb_cap=nb, Mrow=2 * nb + self.tail,
+        )
 
 
 def plan_domain(snapshot, ff: ForceField, S: int, *, skin: float = 1.0,
@@ -1010,4 +1016,4 @@ def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
             )
         return state, obs
 
-    return jax.jit(_run, static_argnames=("n_steps",))
+    return jax.jit(_run, static_argnums=(1,))

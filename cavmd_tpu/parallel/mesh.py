@@ -28,10 +28,12 @@ def make_mesh(n_replica: int = 1, n_atoms_shards: int | None = None, devices=Non
     n_dev = len(devices)
     if n_atoms_shards is None:
         n_atoms_shards = n_dev // n_replica
-    assert n_replica * n_atoms_shards == n_dev, (
-        f"mesh {n_replica}x{n_atoms_shards} != {n_dev} devices"
+    need = n_replica * n_atoms_shards
+    assert need <= n_dev, (
+        f"mesh {n_replica}x{n_atoms_shards} needs {need} devices, "
+        f"have {n_dev}"
     )
-    arr = np.asarray(devices).reshape(n_replica, n_atoms_shards)
+    arr = np.asarray(devices[:need]).reshape(n_replica, n_atoms_shards)
     return Mesh(arr, axis_names=("replica", "atoms"))
 
 

@@ -68,16 +68,43 @@ class Simulation:
         # PPPM grid). Snapshot N must already be padded to a multiple of
         # shard_atoms (parallel.pad_snapshot_to).
         self.mesh = None
+        self._domain_plan = None
         if shard_atoms > 1:
             from cavmd_tpu.parallel.mesh import make_mesh
 
-            if snapshot.N % shard_atoms != 0:
+            self.mesh = make_mesh(n_replica=1, n_atoms_shards=shard_atoms)
+            # prefer the slab-decomposed pipeline for cell-mode runs: each
+            # shard owns its slab's residents and the Pallas tile kernel
+            # runs per shard (VERDICT r3 item 1). Unsupported configs
+            # (dense mode, adaptive dt, custom forces, non-slab-able box,
+            # state-based extra observables) fall back to GSPMD sharding.
+            if (forcefield.pair_mode == "cell"
+                    and error_tolerance == 0 and extra_obs is None):
+                from cavmd_tpu.parallel.domain import (
+                    _validate_methods,
+                    plan_domain,
+                )
+
+                try:
+                    _validate_methods(self.methods)
+                    self._domain_plan = plan_domain(
+                        snapshot, forcefield, shard_atoms
+                    )
+                except ValueError as e:
+                    import logging
+
+                    logging.getLogger(__name__).info(
+                        "domain decomposition unavailable (%s); using "
+                        "GSPMD atom sharding", e,
+                    )
+            if self._domain_plan is None and snapshot.N % shard_atoms != 0:
+                # only the GSPMD fallback needs an even split — the slab
+                # pipeline pads its own per-shard layout
                 raise ValueError(
                     f"N={snapshot.N} not divisible by shard_atoms="
                     f"{shard_atoms}; pad the snapshot first "
                     "(cavmd_tpu.parallel.pad_snapshot_to)"
                 )
-            self.mesh = make_mesh(n_replica=1, n_atoms_shards=shard_atoms)
 
         self._adaptive_kwargs = dict(
             error_tolerance=error_tolerance,
@@ -91,7 +118,7 @@ class Simulation:
             error_tolerance=error_tolerance, rng_impl=rng_impl,
         )
         self._build_runner()
-        if self.mesh is not None:
+        if self.mesh is not None and self._domain_plan is None:
             from cavmd_tpu.parallel.shard import shard_state
 
             self.state = shard_state(self.state, self.mesh)
@@ -104,7 +131,17 @@ class Simulation:
         if self._adaptive_kwargs["error_tolerance"] > 0:
             step = make_adaptive_step(step, **self._adaptive_kwargs)
         self._step = step
-        if self.mesh is not None:
+        if self.mesh is not None and self._domain_plan is not None:
+            # domain-decomposed cell pipeline (parallel/domain.py): the
+            # Pallas tile kernel per slab + halo ppermutes, instead of
+            # GSPMD auto-sharding (which cannot partition a pallas_call
+            # and all-gathers every position per step)
+            from cavmd_tpu.parallel.domain import make_domain_runner
+
+            self._run_chunk = make_domain_runner(
+                self.ff, self.methods, self._domain_plan, self.mesh,
+            )
+        elif self.mesh is not None:
             from cavmd_tpu.parallel.mesh import state_shardings
 
             shardings = state_shardings(self.mesh, self.state, batched=False)
@@ -134,6 +171,11 @@ class Simulation:
         if self.ff.pair_mode == "zcol" and self.ff.zcol_W is not None:
             updates["zcol_W"] = self.ff.zcol_W + 2
         self.ff = dataclasses.replace(self.ff, **updates)
+        if self._domain_plan is not None:
+            # the slab pipeline has its own capacities (bucket cap +
+            # molecule slots per slab) — grow both and recompile
+            self._domain_plan = self._domain_plan.grow_cap()
+            new_cap = self._domain_plan.cap
         self._build_runner()
         return new_cap
 
