@@ -227,16 +227,180 @@ def init_state(
     )
 
 
-def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None):
+def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None,
+                 fuse_integrator: bool | None = None):
     """Build the fused per-step function ``step(state) -> (state, obs)``.
 
     ``obs`` carries the per-step energy audit (every column of the
     reference EnergyTracker, analysis.py:661-671, computed on-device).
     ``extra_obs(state) -> dict`` optionally appends observables (dipole,
     rho(k), ...) computed on-device inside the same fused step.
+
+    ``fuse_integrator``: run the thermostat/VV/RNG tail as two Pallas
+    kernels (``ops/fused_integrator.py``) instead of ~25 small XLA ops.
+    This was the op-count attack on the flagship's inter-op sequencing
+    gaps — and it LOST the A/B: two Pallas launches cost ~33 µs/step at
+    N=501 on v5e (unroll-invariant, i.e. fixed launch overhead), more
+    than the ~24 µs of gaps + tail they eliminate; full-step 14.6k vs
+    16.5k steps/s (docs/performance.md "Step-cost breakdown"). So
+    ``None`` (auto, the default) keeps it OFF; ``True`` opts in
+    (interpret-mode off-TPU, for tests — and the measured-rejection
+    record if Pallas launch cost ever drops); ``False`` disables
+    explicitly. The fused path draws the SAME per-step RNG as the
+    unfused one and differs only in f32 reduction order.
     """
     l_typeid = ff.l_typeid
     ghost_typeid = ff.ghost_typeid
+
+    fused_cache = {}  # n -> FusedIntegratorPlan | None (built at trace time)
+
+    def _fused_plan(n, dtype):
+        if fuse_integrator is not True:
+            # auto stays off: measured 12% slower than the unfused XLA
+            # tail at the flagship size (launch overhead, see docstring)
+            return None
+        key = (n, jnp.dtype(dtype).name)
+        if key not in fused_cache:
+            from cavmd_tpu.ops.fused_integrator import FusedIntegratorPlan
+
+            try:
+                fused_cache[key] = FusedIntegratorPlan(ff, methods, n, dtype)
+            except ValueError:
+                if fuse_integrator:  # explicitly requested: surface it
+                    raise
+                fused_cache[key] = None
+        return fused_cache[key]
+
+    def _cond_rebuild(state, pos):
+        """Carried cell list: rebuild only when some particle has moved
+        more than skin/2 since the anchor positions (Verlet-skin
+        validity; the HOOMD nlist buffer policy). ``lax.cond`` executes
+        one branch, so the O(N log N) argsort rebuild is skipped on most
+        steps."""
+        from cavmd_tpu.core.box import minimum_image
+
+        half_skin = 0.5 * ff.cell_cfg[3]
+        disp = minimum_image(pos - state.cell_anchor, state.box_L)
+        disp2 = jnp.sum(disp * disp, axis=-1)
+        if ff.pair_inert is not None:
+            # pair-inert particles (photon, ghosts) never affect a tile;
+            # the m=1 photon moves ~0.3 bohr/step and would otherwise
+            # trigger a rebuild every step (measured)
+            disp2 = jnp.where(ff.pair_inert, 0.0, disp2)
+        need = jnp.max(disp2) > half_skin * half_skin
+        return jax.lax.cond(
+            need,
+            lambda: (ff.build_cells(pos, state.box_L), pos),
+            lambda: (state.cell_list, state.cell_anchor),
+        )
+
+    def _finish(state, pos, image, v, forces, energies, bussi_res,
+                bussi_inst, langevin_res, mttk, clist, anchor, ke_mol,
+                ke_cav):
+        """Shared step tail: Kahan time, state replace, obs dict."""
+        dt = state.dt
+        y = dt - state.time_comp
+        t_new = state.time_au + y
+        comp_new = (t_new - state.time_au) - y
+        new_state = state.replace(
+            position=pos,
+            image=image,
+            velocity=v,
+            forces=forces,
+            time_au=t_new,
+            time_comp=comp_new,
+            timestep=state.timestep + 1,
+            bussi_reservoir=bussi_res,
+            bussi_instantaneous=bussi_inst,
+            langevin_reservoir=langevin_res,
+            mttk=mttk,
+            cell_list=clist,
+            cell_anchor=anchor,
+        )
+        obs = dict(energies)
+        obs["kinetic_molecular"] = ke_mol
+        obs["kinetic_cavity"] = ke_cav
+        obs["bussi_reservoir_molecular"] = bussi_res[MOLECULAR]
+        obs["bussi_reservoir_cavity"] = bussi_res[CAVITY]
+        obs["langevin_reservoir_molecular"] = langevin_res[MOLECULAR]
+        obs["langevin_reservoir_cavity"] = langevin_res[CAVITY]
+        obs["dt"] = dt
+        obs["time_au"] = new_state.time_au
+        obs["timestep"] = new_state.timestep
+        if extra_obs is not None:
+            obs.update(extra_obs(new_state))
+        return new_state, obs
+
+    def _fused_step(state: MDState, plan):
+        """The fused-kernel step: Pallas pre-force + forces + Pallas
+        post-force. Same RNG draws and update sequence as the unfused
+        path below; differs only in f32 reduction order."""
+        from cavmd_tpu.integrate.thermostats import bussi_noise
+        from cavmd_tpu.ops.fused_integrator import (
+            post_force_apply,
+            pre_force_apply,
+        )
+
+        dtype = state.position.dtype
+        dt = state.dt
+        interp = jax.default_backend() != "tpu"
+        mol_mask = group_mask(state.typeid, l_typeid, "molecular",
+                              ghost_typeid)
+
+        mb = plan.bussi
+        key_b = stream_key(state.key, STREAM_BUSSI, state.timestep,
+                           plan.i_bussi)
+        r1, r_gamma = bussi_noise(key_b, mb.dof, dtype)
+        tau = jnp.asarray(mb.tau, dtype)
+        safe_tau = jnp.where(tau != 0.0, tau, jnp.ones((), dtype))
+        c = jnp.where(tau != 0.0, jnp.exp(-dt / safe_tau),
+                      jnp.zeros((), dtype))
+
+        pos, image, v, dres_b = pre_force_apply(
+            plan, state.position, state.image, state.velocity,
+            state.forces, state.mass, mol_mask, state.box_L, dt, c,
+            jnp.asarray(mb.kT, dtype), r1, r_gamma, interpret=interp,
+        )
+        bussi_res = state.bussi_reservoir.at[MOLECULAR].add(dres_b)
+        bussi_inst = state.bussi_instantaneous.at[MOLECULAR].set(dres_b)
+
+        clist = anchor = None
+        if state.cell_list is not None:
+            clist, anchor = _cond_rebuild(state, pos)
+
+        forces, energies = ff.compute(
+            pos, image, state.box_L, state.charge, state.typeid,
+            state.bond_group, state.bond_typeid, clist=clist,
+        )
+
+        langevin_res = state.langevin_reservoir
+        if plan.langevin is not None:
+            ml = plan.langevin
+            key_l = stream_key(state.key, STREAM_LANGEVIN, state.timestep,
+                               plan.i_langevin)
+            # same (1, 3) draw as langevin_ou_apply's indices path
+            noise = jax.random.normal(key_l, (1, 3), dtype=dtype).reshape(3)
+            gamma = jnp.asarray(ml.gamma, dtype)
+            c_ou = jnp.exp(-gamma * dt)
+            idx = int(ml.indices[0])
+            sig = jnp.sqrt(
+                (1.0 - c_ou * c_ou) * jnp.asarray(ml.kT, dtype)
+                / state.mass[idx]
+            )
+            v, ke_mol, ke_cav, dres_l = post_force_apply(
+                plan, v, forces, state.mass, mol_mask, dt, c_ou, sig,
+                (noise[0], noise[1], noise[2]), interpret=interp,
+            )
+            langevin_res = langevin_res.at[CAVITY].add(dres_l)
+        else:
+            v, ke_mol, ke_cav, _ = post_force_apply(
+                plan, v, forces, state.mass, mol_mask, dt, None, None,
+                None, interpret=interp,
+            )
+
+        return _finish(state, pos, image, v, forces, energies, bussi_res,
+                       bussi_inst, langevin_res, state.mttk, clist, anchor,
+                       ke_mol, ke_cav)
 
     def step(state: MDState):
         dtype = state.position.dtype
@@ -246,6 +410,11 @@ def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None
         bussi_inst = state.bussi_instantaneous
         langevin_res = state.langevin_reservoir
         mttk = state.mttk
+
+        plan = (_fused_plan(v.shape[0], dtype)
+                if v.ndim == 2 and dtype == jnp.float32 else None)
+        if plan is not None:
+            return _fused_step(state, plan)
 
         # ---- thermostat half 1 ----
         for i, m in enumerate(methods):
@@ -298,29 +467,9 @@ def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None
                 )
         pos, image = rewrap(pos, state.image, state.box_L)
 
-        # carried cell list: rebuild only when some particle has moved more
-        # than skin/2 since the anchor positions (Verlet-skin validity; the
-        # HOOMD nlist buffer policy). `lax.cond` executes one branch, so the
-        # O(N log N) argsort rebuild is skipped on most steps.
         clist = anchor = None
         if state.cell_list is not None:
-            from cavmd_tpu.core.box import minimum_image
-
-            half_skin = 0.5 * ff.cell_cfg[3]
-            disp = minimum_image(pos - state.cell_anchor, state.box_L)
-            disp2 = jnp.sum(disp * disp, axis=-1)
-            if ff.pair_inert is not None:
-                # pair-inert particles (photon, ghosts) never affect a tile;
-                # the m=1 photon moves ~0.3 bohr/step and would otherwise
-                # trigger a rebuild every step (measured)
-                disp2 = jnp.where(ff.pair_inert, 0.0, disp2)
-            need = jnp.max(disp2) > half_skin * half_skin
-
-            clist, anchor = jax.lax.cond(
-                need,
-                lambda: (ff.build_cells(pos, state.box_L), pos),
-                lambda: (state.cell_list, state.cell_anchor),
-            )
+            clist, anchor = _cond_rebuild(state, pos)
 
         forces, energies = ff.compute(
             pos, image, state.box_L, state.charge, state.typeid,
@@ -363,39 +512,9 @@ def make_step_fn(ff: ForceField, methods: Tuple[MethodSpec, ...], extra_obs=None
         ke_mol = kinetic_energy(v, state.mass, mol_mask)
         ke_cav = kinetic_energy(v, state.mass, cav_mask)
 
-        # Kahan-compensated time accumulation (see MDState docstring)
-        y = dt - state.time_comp
-        t_new = state.time_au + y
-        comp_new = (t_new - state.time_au) - y
-        new_state = state.replace(
-            position=pos,
-            image=image,
-            velocity=v,
-            forces=forces,
-            time_au=t_new,
-            time_comp=comp_new,
-            timestep=state.timestep + 1,
-            bussi_reservoir=bussi_res,
-            bussi_instantaneous=bussi_inst,
-            langevin_reservoir=langevin_res,
-            mttk=mttk,
-            cell_list=clist,
-            cell_anchor=anchor,
-        )
-
-        obs = dict(energies)
-        obs["kinetic_molecular"] = ke_mol
-        obs["kinetic_cavity"] = ke_cav
-        obs["bussi_reservoir_molecular"] = bussi_res[MOLECULAR]
-        obs["bussi_reservoir_cavity"] = bussi_res[CAVITY]
-        obs["langevin_reservoir_molecular"] = langevin_res[MOLECULAR]
-        obs["langevin_reservoir_cavity"] = langevin_res[CAVITY]
-        obs["dt"] = dt
-        obs["time_au"] = new_state.time_au
-        obs["timestep"] = new_state.timestep
-        if extra_obs is not None:
-            obs.update(extra_obs(new_state))
-        return new_state, obs
+        return _finish(state, pos, image, v, forces, energies, bussi_res,
+                       bussi_inst, langevin_res, mttk, clist, anchor,
+                       ke_mol, ke_cav)
 
     return step
 

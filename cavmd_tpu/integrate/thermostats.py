@@ -40,6 +40,32 @@ def kinetic_energy(velocity, mass, mask):
     return 0.5 * jnp.sum(w[:, None] * velocity**2)
 
 
+def bussi_noise(key, dof: float, dtype):
+    """The two stochastic draws of one Bussi rescaling: (r1, r_gamma).
+
+    Shared by :func:`bussi_rescale_factor` and the fused-integrator path
+    (``ops/fused_integrator.py``) so both sample IDENTICAL noise from the
+    same key. r1 ~ N(0,1); r_gamma = 2*Gamma((dof-1)/2) for dof > 1 —
+    Wilson-Hilferty for a > 30 (moment error O(1/a^2); avoids
+    ``jax.random.gamma``'s rejection while_loop, ~55 us/step on TPU,
+    measured v5e), exact gamma sampling below that.
+    """
+    k1, k2 = jax.random.split(key)
+    r1 = jax.random.normal(k1, dtype=dtype)
+    if dof > 1.0:
+        alpha_g = (dof - 1.0) / 2.0
+        if alpha_g > 30.0:
+            xi = jax.random.normal(k2, dtype=dtype)
+            cube = 1.0 - 1.0 / (9.0 * alpha_g) + xi / jnp.sqrt(9.0 * alpha_g)
+            g = alpha_g * jnp.maximum(cube, 0.0) ** 3
+        else:
+            g = jax.random.gamma(k2, alpha_g, dtype=dtype)
+        r_gamma = 2.0 * g
+    else:
+        r_gamma = jnp.zeros((), dtype)
+    return r1, r_gamma
+
+
 def bussi_rescale_factor(K, dof: float, dt, tau, kT, key, *, sign_correction=True):
     """Bussi 2007 stochastic velocity-rescaling factor alpha.
 
@@ -63,23 +89,7 @@ def bussi_rescale_factor(K, dof: float, dt, tau, kT, key, *, sign_correction=Tru
     safe_tau = jnp.where(tau != 0.0, tau, jnp.ones((), dtype))
     c = jnp.where(tau != 0.0, jnp.exp(-dt / safe_tau), jnp.zeros((), dtype))
 
-    k1, k2 = jax.random.split(key)
-    r1 = jax.random.normal(k1, dtype=dtype)
-    if dof > 1.0:
-        alpha_g = (dof - 1.0) / 2.0
-        if alpha_g > 30.0:
-            # Wilson-Hilferty: Gamma(a) ~ a (1 - 1/(9a) + xi/sqrt(9a))^3.
-            # Relative moment error is O(1/a^2) — negligible for a > 30 —
-            # and it avoids jax.random.gamma's rejection while_loop, which
-            # costs ~55 us/step on TPU (measured v5e).
-            xi = jax.random.normal(k2, dtype=dtype)
-            cube = 1.0 - 1.0 / (9.0 * alpha_g) + xi / jnp.sqrt(9.0 * alpha_g)
-            g = alpha_g * jnp.maximum(cube, 0.0) ** 3
-        else:
-            g = jax.random.gamma(k2, alpha_g, dtype=dtype)
-        r_gamma = 2.0 * g
-    else:
-        r_gamma = jnp.zeros((), dtype)
+    r1, r_gamma = bussi_noise(key, dof, dtype)
 
     v = kT / 2.0 / K
     term1 = v * (1.0 - c) * (r_gamma + r1 * r1)
