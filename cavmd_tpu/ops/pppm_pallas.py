@@ -210,6 +210,45 @@ def _expand_tables(mesh):
     return jnp.asarray(ey, jnp.bfloat16), jnp.asarray(ez, jnp.bfloat16)
 
 
+def _is_pow2(k):
+    return k >= 1 and (k & (k - 1)) == 0
+
+
+def _tile_lanes(seg, reps):
+    """Tile a (chunk, W) lane block ``reps`` (pow2) times by log2 concat
+    doubling -> (chunk, W*reps).
+
+    The z-factor of the Khatri-Rao layout is pure lane TILING
+    (``SzE[n, y*Kz+z] = Sz[n, z]`` — the minor factor repeats verbatim),
+    so it needs no one-hot MXU dot at all: log2(reps) lane concats build
+    it as EXACT f32 copies. Measured v5e (N=100k, 32^3, chunk 512): this
+    removes 2 of 7 MXU passes from the fwd spread and 4 of 14 from the
+    bwd (together with :func:`_tile_sum`), and it is exact where the
+    `_dot2` expansion was bf16x2-approximate. The y-factor
+    (``m // Kz`` — element-repeat) has no such copy structure and keeps
+    the one-hot dot."""
+    out = seg
+    r = reps
+    while r > 1:
+        out = jnp.concatenate([out, out], axis=1)
+        r //= 2
+    return out
+
+
+def _tile_sum(x, reps):
+    """Sum ``reps`` (pow2) consecutive lane tiles -> (chunk, W/reps):
+    the exact adjoint of :func:`_tile_lanes` (pairwise halving adds, so
+    the z-stencil cotangent ``gSz[n,z] = sum_y X[n, y*Kz+z]`` costs
+    log2(reps) VPU adds instead of 2 MXU passes)."""
+    w = x.shape[1]
+    r = reps
+    while r > 1:
+        w //= 2
+        x = x[:, :w] + x[:, w:]
+        r //= 2
+    return x
+
+
 def _expand_tables_stacked(mesh):
     """One-hot expansion tables addressed by STACKED lane index.
 
@@ -244,7 +283,9 @@ def _spread_fwd_kernel(pos_ref, q_ref, scal_ref, ey_ref, ez_ref, out_ref, *,
     # (the previous per-y strided-scratch assembly was the kernel's
     # dominant cost at K=32: Ky sub-128-lane masked RMW writes per chunk)
     dims = (((1,), (0,)), ((), ()))
-    B = _dot2(Sy, ey_ref[...], dims) * _dot2(Sz, ez_ref[...], dims)
+    SzE = _tile_lanes(Sz, Ky) if _is_pow2(Ky) else _dot2(Sz, ez_ref[...],
+                                                         dims)
+    B = _dot2(Sy, ey_ref[...], dims) * SzE
     bh, bl = _split_bf16(B)
 
     a_hi, a_lo = _split_bf16(A)
@@ -273,7 +314,8 @@ def _spread_bwd_kernel(pos_ref, q_ref, scal_ref, ct_ref, ey_ref, ez_ref,
 
     dims = (((1,), (0,)), ((), ()))
     SyE = _dot2(Sy, ey_ref[...], dims)  # (chunk, Ky*Kz) broadcast layouts
-    SzE = _dot2(Sz, ez_ref[...], dims)
+    SzE = _tile_lanes(Sz, Ky) if _is_pow2(Ky) else _dot2(Sz, ez_ref[...],
+                                                         dims)
     bh, bl = _split_bf16(SyE * SzE)
 
     ct_hi, ct_lo = _split_bf16(ct_ref[...])  # (Kx, Ky*Kz) grid cotangent
@@ -292,7 +334,8 @@ def _spread_bwd_kernel(pos_ref, q_ref, scal_ref, ct_ref, ey_ref, ez_ref,
     # broadcast axis on the MXU (full lanes, no per-y slicing)
     dims_t = (((1,), (1,)), ((), ()))
     gSy = _dot2(dB * SzE, ey_ref[...], dims_t)  # (chunk, Ky)
-    gSz = _dot2(dB * SyE, ez_ref[...], dims_t)  # (chunk, Kz)
+    gSz = (_tile_sum(dB * SyE, Ky) if _is_pow2(Ky)
+           else _dot2(dB * SyE, ez_ref[...], dims_t))  # (chunk, Kz)
     gSx = q * dA
 
     # chain through u = (pos/L + 0.5) K: dpos_d = (K_d/L_d) sum_x gS dS
@@ -313,10 +356,16 @@ def _spread_fwd_kernel_stacked(pos_ref, q_ref, scal_ref, cst_ref, ey_ref,
                              order)  # (chunk, Kx+Ky+Kz)
     A = q_ref[:, 0:1] * S[:, :Kx]
 
-    # the zero-row-padded tables select the y/z segments AND expand to the
-    # (chunk, Ky*Kz) Khatri-Rao layout in the same MXU dot
+    # the zero-row-padded table selects the y segment AND expands to the
+    # (chunk, Ky*Kz) Khatri-Rao layout in the same MXU dot; the z factor
+    # is pure lane tiling (exact copies, no dot — see _tile_lanes)
     dims = (((1,), (0,)), ((), ()))
-    B = _dot2(S, ey_ref[...], dims) * _dot2(S, ez_ref[...], dims)
+    SyE = _dot2(S, ey_ref[...], dims)
+    if _is_pow2(Ky):
+        SzE = _tile_lanes(S[:, Kx + Ky:Kx + Ky + Kz], Ky)
+    else:
+        SzE = _dot2(S, ez_ref[...], dims)
+    B = SyE * SzE
     bh, bl = _split_bf16(B)
 
     a_hi, a_lo = _split_bf16(A)
@@ -345,7 +394,10 @@ def _spread_bwd_kernel_stacked(pos_ref, q_ref, scal_ref, cst_ref, ct_ref,
 
     dims = (((1,), (0,)), ((), ()))
     SyE = _dot2(S, ey_ref[...], dims)  # (chunk, Ky*Kz) broadcast layouts
-    SzE = _dot2(S, ez_ref[...], dims)
+    if _is_pow2(Ky):
+        SzE = _tile_lanes(S[:, Kx + Ky:Kx + Ky + Kz], Ky)
+    else:
+        SzE = _dot2(S, ez_ref[...], dims)
     bh, bl = _split_bf16(SyE * SzE)
 
     ct_hi, ct_lo = _split_bf16(ct_ref[...])  # (Kx, Ky*Kz) grid cotangent
@@ -357,23 +409,29 @@ def _spread_bwd_kernel_stacked(pos_ref, q_ref, scal_ref, cst_ref, ct_ref,
         a_hi, a_lo, ct_hi, ct_lo, (((1,), (0,)), ((), ()))
     )  # (chunk, Ky*Kz)
 
-    # transposed one-hot dots land each axis's stencil gradient back in
-    # its own stacked lane segment (zero rows elsewhere), so the dS chain
-    # runs on full stacked lanes with no slicing
+    # transposed one-hot dot lands the y stencil gradient back in its
+    # stacked lane segment (zero rows elsewhere); the z gradient is the
+    # tile-sum adjoint of the lane tiling (log2(Ky) VPU adds, no dot)
     dims_t = (((1,), (1,)), ((), ()))
     gSy = _dot2(dB * SzE, ey_ref[...], dims_t)  # (chunk, Ktot), y-segment
-    gSz = _dot2(dB * SyE, ez_ref[...], dims_t)  # (chunk, Ktot), z-segment
     gSx = q * dA  # (chunk, Kx)
 
     # chain through u_d = pos_d * (K_d/L_d) + K_d/2: dpos_d = scal2[0,d]
-    # * sum gS dS (gSy/gSz are zero outside their segments, so the
-    # full-lane sums reduce exactly their own axis)
+    # * sum gS dS (gSy is zero outside its segment, so the full-lane sum
+    # reduces exactly its own axis)
     dpos_ref[:, 0:1] = scal_ref[0, 0] * jnp.sum(
         gSx * dS[:, :Kx], axis=1, keepdims=True)
     dpos_ref[:, 1:2] = scal_ref[0, 1] * jnp.sum(
         gSy * dS, axis=1, keepdims=True)
-    dpos_ref[:, 2:3] = scal_ref[0, 2] * jnp.sum(
-        gSz * dS, axis=1, keepdims=True)
+    if _is_pow2(Ky):
+        gSz = _tile_sum(dB * SyE, Ky)  # (chunk, Kz) compact
+        dsz = dS[:, Kx + Ky:Kx + Ky + Kz]
+        dpos_ref[:, 2:3] = scal_ref[0, 2] * jnp.sum(
+            gSz * dsz, axis=1, keepdims=True)
+    else:
+        gSz = _dot2(dB * SyE, ez_ref[...], dims_t)  # (chunk, Ktot)
+        dpos_ref[:, 2:3] = scal_ref[0, 2] * jnp.sum(
+            gSz * dS, axis=1, keepdims=True)
 
 
 def _pad_chunk(x, chunk, fill=0.0):
