@@ -27,9 +27,12 @@ auto-switches to the VMEM-resident Pallas spread kernel
 (``ops/pppm_pallas.py:pallas_spread_ok``; bf16x3 dots, analytic vjp).
 Accuracy A/B vs exact k-space Ewald: tests/test_ewald.py::
 test_pppm_mesh_resolution_error_scaling (32^3 -> 64^3 cuts force error
->4x on a coarse-mesh box). VMEM caps the kernel at 64^3; 128^3+ would
-need a grid-partitioned (multi-block) accumulator — not yet needed at
-the sizes this framework targets.
+>4x on a coarse-mesh box). VMEM caps the kernel at 64^3; beyond that
+(and wherever the Pallas kernel is inapplicable but the dense factor is
+too large) the solver scan-accumulates the grid over particle CHUNKS
+(:func:`pppm_reciprocal_energy_chunked`) — same matmul math, the dense
+factor never exists whole, so the mesh resolution has no ceiling (the
+reference exposes ``resolution`` unbounded, 05_advanced_run.py:598-604).
 """
 
 from __future__ import annotations
@@ -357,6 +360,98 @@ def pppm_force_and_energy(position, charge, box_L, params: PPPMParams, order: in
     return -grad, e
 
 
+# ------------------------------------------------------------- chunked path
+# One-GEMM spread above this dense-factor size switches to the chunked
+# scan (1 GB: the 64^3/N=100k factor is 1.6 GB and already measured
+# unusable; on TPU that regime normally takes the Pallas kernel instead,
+# so this path serves (a) meshes past the kernel's 64^3 VMEM cap and
+# (b) non-TPU backends at large N x mesh).
+_DENSE_SPREAD_CEILING_BYTES = 1 << 30
+
+
+def _spread_chunk_rows(mesh):
+    """Particle rows per scan chunk: ~64 MB of (chunk, Ky*Kz) f32
+    intermediate, clamped to [256, 8192] (pow2 so the GEMM contraction
+    dim stays MXU-aligned). 1024 at 128^3, 4096 at 64^3."""
+    kyz = mesh[1] * mesh[2]
+    c = (64 << 20) // (kyz * 4)
+    c = 1 << max(8, min(13, c.bit_length() - 1))
+    return c
+
+
+def _spread_grid_chunked(position, charge, box_L, order: int, mesh,
+                         chunk: int):
+    """Charge grid (Kx, Ky*Kz) by ``lax.scan`` over particle chunks.
+
+    Same contraction as the one-GEMM spread (grid = A^T B with A the
+    charge-weighted x-stencils and B the y(x)z Khatri-Rao factor) and the
+    same per-column accumulation order within a chunk, but B only ever
+    exists (chunk, Ky*Kz) at a time — the dense factor that caps the
+    one-GEMM path (6.5 GB at N=100k/128^3) is streamed, not held.
+    ``jax.checkpoint`` on the body keeps the BACKWARD from saving every
+    chunk's B (which would be the dense factor in HBM again): the spread
+    matrices are recomputed per chunk in the bwd sweep, trading one extra
+    stencil evaluation for O(N * Ky*Kz) residual memory.
+
+    Padded filler rows carry q=0, so A's filler rows are zero and
+    contribute nothing to the grid (their position cotangents are zero
+    and are sliced off by the pad's own autodiff transpose).
+    """
+    dtype = position.dtype
+    Kx, Ky, Kz = mesh
+    n = position.shape[0]
+    pad = (-n) % chunk
+    pos = jnp.concatenate(
+        [position, jnp.zeros((pad, 3), dtype)]) if pad else position
+    q = jnp.concatenate(
+        [charge, jnp.zeros((pad,), charge.dtype)]) if pad else charge
+    hp = _PPPM_PRECISION
+
+    @jax.checkpoint
+    def body(grid, pq):
+        p, qc = pq
+        Sx, Sy, Sz = _spread_matrices(p, box_L, order, mesh)
+        A = qc[:, None] * Sx  # (chunk, Kx)
+        B = (Sy[:, :, None] * Sz[:, None, :]).reshape(chunk, Ky * Kz)
+        g = jnp.dot(A.T, B, precision=hp, preferred_element_type=dtype)
+        return grid + g, None
+
+    grid0 = jnp.zeros((Kx, Ky * Kz), dtype)
+    grid, _ = jax.lax.scan(
+        body, grid0,
+        (pos.reshape(-1, chunk, 3), q.reshape(-1, chunk)),
+    )
+    return grid
+
+
+@partial(jax.jit, static_argnames=("order", "mesh", "chunk"))
+def pppm_reciprocal_energy_chunked(position, charge, box_L,
+                                   params: PPPMParams, order: int, mesh,
+                                   chunk: int = None):
+    """Reciprocal mesh energy via the chunk-streamed spread.
+
+    Numerically identical math to :func:`pppm_reciprocal_energy` (the
+    grid is the same sum, accumulated chunk-major instead of in one
+    GEMM's internal order), differentiable in ``position``.
+    """
+    Kx, Ky, Kz = mesh
+    if chunk is None:
+        chunk = _spread_chunk_rows(mesh)
+    grid = _spread_grid_chunked(position, charge, box_L, order, mesh,
+                                chunk)
+    return _mesh_energy(grid.reshape(Kx, 1, Ky, Kz), params, mesh)[0]
+
+
+def pppm_force_and_energy_chunked(position, charge, box_L,
+                                  params: PPPMParams, order: int, mesh,
+                                  chunk: int = None):
+    """Forces + energy through the chunk-streamed spread."""
+    e, grad = jax.value_and_grad(pppm_reciprocal_energy_chunked)(
+        position, charge, box_L, params, order, mesh, chunk
+    )
+    return -grad, e
+
+
 # --------------------------------------------------------------- batched path
 def _spread_matrices_batched(position, box_L, order: int, mesh):
     """(B, N, 3) variant of :func:`_spread_matrices` -> three (B, N, K_d)."""
@@ -439,6 +534,14 @@ def make_pppm_force_energy(order: int, mesh):
             return pppm_force_and_energy_pallas(
                 position, charge, box_L, params, order, mesh
             )
+        if (position.shape[0] * mesh[1] * mesh[2] * 4
+                > _DENSE_SPREAD_CEILING_BYTES):
+            # dense factor too large to hold and the Pallas kernel is
+            # inapplicable (mesh past its 64^3 VMEM cap, or a non-TPU
+            # backend): stream the spread over particle chunks
+            return pppm_force_and_energy_chunked(
+                position, charge, box_L, params, order, mesh
+            )
         return pppm_force_and_energy(position, charge, box_L, params,
                                      order, mesh)
 
@@ -478,9 +581,20 @@ def make_pppm_force_energy(order: int, mesh):
         else:
             box0 = box_L
             poison = jnp.zeros((), position.dtype)
-        f, e = pppm_force_and_energy_batched(
-            position, charge, box0, params, order, mesh
-        )
+        if (axis_size * position.shape[1] * mesh[1] * mesh[2] * 4
+                > _DENSE_SPREAD_CEILING_BYTES):
+            # the batched kernel's (B, N, Ky*Kz) factor is B x the
+            # unbatched one — stream replicas through the chunked spread
+            f, e = jax.lax.map(
+                lambda pq: pppm_force_and_energy_chunked(
+                    pq[0], pq[1], box0, params, order, mesh
+                ),
+                (position, charge),
+            )
+        else:
+            f, e = pppm_force_and_energy_batched(
+                position, charge, box0, params, order, mesh
+            )
         return (f + poison, e + poison), (True, True)
 
     return fe

@@ -197,3 +197,104 @@ def test_pppm_mesh_resolution_error_scaling():
     # order-6 interpolation: halving h gains far more than 4x
     assert errs[64] < errs[32] / 4.0
     assert errs[64] < 2e-5
+
+
+def test_pppm_chunked_spread_matches_dense(charged_system):
+    """The chunk-streamed spread (the no-ceiling path for dense factors
+    past 1 GB — N=100k/64^3+ off-TPU, any N at 128^3+) is the same
+    contraction accumulated chunk-major: energies and forces must match
+    the one-GEMM path to accumulation-order noise, including a padded
+    final chunk (N=40, chunk=16)."""
+    from cavmd_tpu.ops.pppm import (
+        pppm_force_and_energy_chunked,
+        pppm_reciprocal_energy_chunked,
+    )
+
+    snap = charged_system
+    mesh = (32, 32, 32)
+    params, order = PPPMParams.create(snap.box_L, mesh=mesh, order=6,
+                                      kappa=0.25)
+    e_dense = pppm_reciprocal_energy(
+        snap.position, snap.charge, snap.box_L, params, order, mesh
+    )
+    f_dense, _ = pppm_force_and_energy(
+        snap.position, snap.charge, snap.box_L, params, order, mesh
+    )
+    e_c = pppm_reciprocal_energy_chunked(
+        snap.position, snap.charge, snap.box_L, params, order, mesh,
+        chunk=16,
+    )
+    f_c, e_c2 = pppm_force_and_energy_chunked(
+        snap.position, snap.charge, snap.box_L, params, order, mesh,
+        chunk=16,
+    )
+    assert float(e_c) == pytest.approx(float(e_dense), rel=1e-12)
+    assert float(e_c2) == pytest.approx(float(e_dense), rel=1e-12)
+    scale = np.abs(np.asarray(f_dense)).max()
+    np.testing.assert_allclose(
+        np.asarray(f_c), np.asarray(f_dense), atol=1e-12 * scale
+    )
+
+
+def test_pppm_128_mesh_no_ceiling(charged_system):
+    """128^3 — past the Pallas kernel's 64^3 VMEM cap — must work through
+    the chunked spread and agree with exact k-space Ewald (the reference
+    exposes ``resolution`` unbounded, 05_advanced_run.py:598-604; round-3
+    VERDICT missing item 4)."""
+    from cavmd_tpu.ops.pppm import pppm_force_and_energy_chunked
+
+    snap = charged_system
+    kappa = 0.25
+    mesh = (128, 128, 128)
+    params, order = PPPMParams.create(snap.box_L, mesh=mesh, order=6,
+                                      kappa=kappa)
+    f, e = pppm_force_and_energy_chunked(
+        snap.position, snap.charge, snap.box_L, params, order, mesh
+    )
+    f_exact, e_exact = ewald_kspace_exact(
+        snap.position, snap.charge, snap.box_L, kappa, nmax=14
+    )
+    assert float(e) == pytest.approx(float(e_exact), rel=2e-5)
+    scale = np.abs(np.asarray(f_exact)).max()
+    np.testing.assert_allclose(
+        np.asarray(f), np.asarray(f_exact), atol=2e-5 * scale
+    )
+
+
+def test_pppm_dispatch_routes_large_dense_to_chunked(charged_system,
+                                                     monkeypatch):
+    """make_pppm_force_energy switches to the chunked spread above the
+    dense-factor ceiling — forced here by shrinking the ceiling — with
+    identical results, unbatched and under vmap."""
+    import cavmd_tpu.ops.pppm as pppm_mod
+
+    snap = charged_system
+    mesh = (16, 16, 16)
+    params, order = PPPMParams.create(snap.box_L, mesh=mesh, order=6,
+                                      kappa=0.25)
+    fe = pppm_mod.make_pppm_force_energy(order, mesh)
+    f_ref, e_ref = fe(snap.position, snap.charge, snap.box_L, params)
+
+    monkeypatch.setattr(pppm_mod, "_DENSE_SPREAD_CEILING_BYTES", 1)
+    pppm_mod.make_pppm_force_energy.cache_clear()
+    fe_c = pppm_mod.make_pppm_force_energy(order, mesh)
+    f_c, e_c = fe_c(snap.position, snap.charge, snap.box_L, params)
+    assert float(e_c) == pytest.approx(float(e_ref), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_ref),
+                               atol=1e-12)
+
+    # replica-batched: the vmap rule streams replicas through the
+    # chunked spread instead of building the (B, N, Ky*Kz) factor
+    pos_b = jnp.stack([snap.position, snap.position + 0.1])
+    f_b, e_b = jax.vmap(
+        lambda p: fe_c(p, snap.charge, snap.box_L, params)
+    )(pos_b)
+    f0, e0 = fe(pos_b[0], snap.charge, snap.box_L, params)
+    f1, e1 = fe(pos_b[1], snap.charge, snap.box_L, params)
+    assert float(e_b[0]) == pytest.approx(float(e0), rel=1e-12)
+    assert float(e_b[1]) == pytest.approx(float(e1), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(f_b[0]), np.asarray(f0),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(f_b[1]), np.asarray(f1),
+                               atol=1e-12)
+    pppm_mod.make_pppm_force_energy.cache_clear()
