@@ -1016,4 +1016,16 @@ def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
             )
         return state, obs
 
-    return jax.jit(_run, static_argnums=(1,))
+    jitted = jax.jit(_run, static_argnums=(1,))
+    # The returned state's leaves are committed NamedSharding(mesh, P())
+    # (replicated — the rebuild consumes the full state on every shard
+    # anyway). Pre-committing the INPUT to that same sharding makes the
+    # first trace the fixed point; without it, feeding the output back
+    # would recompile the whole chunk program once (~30 s at N=100k) on
+    # the second call. device_put is a no-op when already committed.
+    rep_shard = NamedSharding(mesh, P())
+
+    def run(state, n_steps):
+        return jitted(jax.device_put(state, rep_shard), n_steps)
+
+    return run

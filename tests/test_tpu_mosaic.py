@@ -109,3 +109,68 @@ def test_mosaic_cell_kernel_steps():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "MOSAIC_CELL_OK" in proc.stdout, proc.stdout
+
+
+_DOMAIN_CHECK = """
+import sys
+sys.path.insert(0, %r)
+import jax, jax.numpy as jnp, numpy as np
+assert jax.default_backend() == "tpu", jax.default_backend()
+
+from cavmd_tpu.core import PhysicalConstants as PC
+from cavmd_tpu.core import add_cavity_particle, make_diatomic_system
+from cavmd_tpu.integrate import (
+    ForceField, MethodSpec, init_state, resolve_methods,
+)
+from cavmd_tpu.parallel.domain import make_domain_runner, plan_domain
+
+snap = make_diatomic_system(550, box_L=65.0, temperature_K=100.0, seed=0,
+                            dtype=np.float64).astype(jnp.float32)
+snap = add_cavity_particle(snap, coupling=1e-3, freq_cm1=2000.0,
+                           temperature_K=100.0, seed=1)
+ff = ForceField.create(snap, coupling=1e-3, freq_cm1=2000.0, r_cut=8.0,
+                       pair_mode="cell", pppm_mesh=(16, 16, 16))
+kT = PC.kT_from_kelvin(100.0)
+methods = resolve_methods(
+    snap,
+    (MethodSpec(kind="bussi", group="molecular", kT=kT,
+                tau=PC.ps_to_atomic_units(5.0)),
+     MethodSpec(kind="langevin", group="cavity", kT=kT,
+                gamma=PC.gamma_from_tau_ps(5.0))),
+    ff.l_typeid,
+)
+state = init_state(snap, ff, dt=PC.fs_to_atomic_units(0.5), seed=7)
+plan = plan_domain(snap, ff, 1)  # one slab on the one real chip
+
+# XLA-tile domain path vs Pallas-tile domain path: same shard_map
+# structure (halo ppermute, psums, per-shard PPPM spread), only the tile
+# kernel differs — so any deviation is the Mosaic kernel itself
+run_xla = make_domain_runner(ff, methods, plan, rebuild_every=3,
+                             use_pallas=False)
+fin_x, obs_x = run_xla(state, 6)
+run_pl = make_domain_runner(ff, methods, plan, rebuild_every=3,
+                            use_pallas=True)
+fin_p, obs_p = run_pl(state, 6)
+jax.block_until_ready(fin_p.position)
+np.testing.assert_allclose(np.asarray(fin_p.position),
+                           np.asarray(fin_x.position),
+                           rtol=2e-5, atol=2e-5)
+np.testing.assert_allclose(np.asarray(obs_p["lj"]),
+                           np.asarray(obs_x["lj"]), rtol=1e-4, atol=1e-6)
+assert not np.asarray(obs_p["cell_overflow"]).any()
+print("MOSAIC_DOMAIN_OK")
+"""
+
+
+def test_mosaic_domain_runner_pallas_in_shard_map():
+    """Compile the domain pipeline with the Pallas tile kernel INSIDE
+    shard_map through Mosaic on the real chip (S=1 mesh) and compare
+    against the XLA-tile domain path — the shard_map x pallas_call
+    composition the interpret-mode suite (tests/test_domain.py) can only
+    emulate."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _DOMAIN_CHECK % REPO],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "MOSAIC_DOMAIN_OK" in proc.stdout, proc.stdout
