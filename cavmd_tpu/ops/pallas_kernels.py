@@ -598,7 +598,7 @@ def _sentinel_tail(buf_ref, r, start, n_real):
 
 def _cell_cols_kernel(pi_ref, pj_ref, occ_ref, scal_ref, out_ref, elj_ref,
                       eew_ref, jbuf_ref, *, pack: "CellPallasPack", rc2, cz,
-                      cap, lanes_pad, s1):
+                      cap, lanes_pad, s1, wrap=False):
     """One xy column of cells per grid step (z-resident j-tiles).
 
     ``pi_ref``: (1, cz, cap, R) i-side rows for the column's cells.
@@ -650,10 +650,12 @@ def _cell_cols_kernel(pi_ref, pj_ref, occ_ref, scal_ref, out_ref, elj_ref,
             return jbuf_ref[row:row + 1, :]
 
         def tile_rows(lo, hi):
-            # wrap=False: the caller pre-shifted every neighbor copy into
-            # this column's image (cell_local_positions + halo/xy shifts)
+            # wrap=False when the caller pre-shifted every neighbor copy
+            # into this column's image (cell_local_positions + halo/xy
+            # shifts); wrap=True for raw-position callers (the slab
+            # variant) — per-pair min-image instead
             fx, fy, fz, e_lj, e_ew = _fused_tile(
-                pi[lo:hi], jrow, scal_ref, pack, rc2, wrap=False
+                pi[lo:hi], jrow, scal_ref, pack, rc2, wrap=wrap
             )
             out_ref[0, iz, lo:hi, 0:1] = fx
             out_ref[0, iz, lo:hi, 1:2] = fy
@@ -682,7 +684,7 @@ def _cell_cols_kernel_jsplit(pi_ref, pjA_ref, pjB_ref, occ_ref, flag_ref,
                              scal_ref, out_ref, elj_ref, eew_ref,
                              jbufA_ref, jbufB_ref, *,
                              pack: "CellPallasPack", rc2, cz, cap, cap1,
-                             lanes_padA, lanes_padB, s1):
+                             lanes_padA, lanes_padB, s1, wrap=False):
     """Two-capacity-class j-window variant of :func:`_cell_cols_kernel`.
 
     The bucket cap is sized for the max-occupancy cell plus drift margin
@@ -735,7 +737,7 @@ def _cell_cols_kernel_jsplit(pi_ref, pjA_ref, pjB_ref, occ_ref, flag_ref,
 
         def tile_a(lo, hi):
             fx, fy, fz, e_lj, e_ew = _fused_tile(
-                pi[lo:hi], jrowA, scal_ref, pack, rc2, wrap=False
+                pi[lo:hi], jrowA, scal_ref, pack, rc2, wrap=wrap
             )
             out_ref[0, iz, lo:hi, 0:1] = fx
             out_ref[0, iz, lo:hi, 1:2] = fy
@@ -746,7 +748,7 @@ def _cell_cols_kernel_jsplit(pi_ref, pjA_ref, pjB_ref, occ_ref, flag_ref,
 
         def tile_b_add(lo, hi):
             fx, fy, fz, e_lj, e_ew = _fused_tile(
-                pi[lo:hi], jrowB, scal_ref, pack, rc2, wrap=False
+                pi[lo:hi], jrowB, scal_ref, pack, rc2, wrap=wrap
             )
             out_ref[0, iz, lo:hi, 0:1] += fx
             out_ref[0, iz, lo:hi, 1:2] += fy
@@ -985,6 +987,206 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
     from cavmd_tpu.ops.neighbor import slot_gather_forces
 
     forces = slot_gather_forces(out.reshape(C, cap, 8), clist, n)
+    e_lj = 0.5 * elj[0, 0]
+    e_ew = 0.5 * eew[0, 0]
+    return (forces.astype(position.dtype),
+            e_lj.astype(position.dtype), e_ew.astype(position.dtype))
+
+
+def _xy_neighbor_table_slab(cx_ext, cy) -> np.ndarray:
+    """(own-XY, 9) neighbor column ids over a slab-extended grid.
+
+    Own columns are ext x-layers 1..cx_ext-2 (the edge layers are halo,
+    j-only); x never wraps — the halo layers stand in for the remote /
+    periodic x images — while y wraps as usual. The slab caller runs
+    per-pair min-image on raw positions, so unlike
+    :func:`_xy_neighbor_table_shifts` no shift tensor is needed.
+    """
+    cxo = cx_ext - 2
+    ids = np.arange(cxo * cy)
+    x, y = ids // cy + 1, ids % cy
+    out = np.empty((cxo * cy, 9), np.int32)
+    k = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            out[:, k] = (x + dx) * cy + (y + dy) % cy
+            k += 1
+    return out
+
+
+def fused_cell_cols_slab_pallas(position, box_L, clist, cfg,
+                                pack: CellPallasPack, kappa,
+                                interpret=False, s1=None, jsplit=None,
+                                mean_occ=None):
+    """Column-resident cols kernel over a slab-extended local grid.
+
+    The domain-decomposed pipeline's tile pass (``parallel/domain.py``):
+    ``cfg.ncells = (cxl+2, cy, cz)`` where ext x-layers 0 and cxl+1 hold
+    j-only halo copies of the x-neighbor shards' edge layers. Same tile
+    math and two-tier/jsplit predication as
+    :func:`fused_cell_cols_pallas`, with three slab deltas:
+
+    - i-columns span only the OWN x-layers (1..cxl); halo columns are
+      fetched as j-neighbors and never compute, so each cross-shard pair
+      is counted once per owning shard and the 0.5x sum stands after the
+      runner's energy psum.
+    - positions are RAW (halo copies keep the sender's coordinates): the
+      tile runs per-pair min-image (``wrap=True``), which also absorbs
+      the +-L images at box-edge shards and the y/z wraps — no
+      pre-wrapped layout or shift tensors. Costs ~9 VPU ops/pair-slot vs
+      the pre-wrapped single-shard kernel; still far ahead of the
+      bucket-gather kernel's 27x j-traffic.
+    - x never wraps in the neighbor table (:func:`_xy_neighbor_table_slab`).
+
+    ``clist.slot_of`` carries EXT-grid flat slots (what the domain
+    rebuild produces); the force gather subtracts one x-layer of slots to
+    address the own-grid kernel output, which also maps halo/dump slots
+    out of range (masked to zero — halo forces belong to their owner).
+    ``mean_occ`` feeds the static s1/cap1 splits; pass the resident mean
+    (``position.shape[0]`` overcounts fillers).
+    """
+    n = position.shape[0]
+    dtype = jnp.float32
+    idx = clist.bucket_idx  # (C_ext, cap)
+    C_ext, cap = idx.shape
+    cx, cy, cz = cfg.ncells  # ext grid
+    assert min(cx, cy, cz) >= 3, "slab cols kernel needs >=3 cells/axis"
+    XYe = cx * cy
+    XYo = (cx - 2) * cy
+    C_own = XYo * cz
+    r = pack.r_pad
+
+    if mean_occ is None:
+        mean_occ = n / max(C_own, 1)
+    if jsplit is None:
+        cap1 = int((mean_occ + 2.6 * np.sqrt(mean_occ)) // 8) * 8
+    else:
+        cap1 = int(jsplit)
+    cap1 = max(0, min(cap1, cap))
+    split = cap1 >= 8 and (cap - cap1) >= 8
+    if s1 is None:
+        s1 = int((mean_occ + np.sqrt(mean_occ)) // 8) * 8
+    s1 = max(8, min(int(s1), cap))
+
+    far = jnp.full((1, 3), jnp.asarray(1e6, dtype))
+    pos_pad = jnp.concatenate([position.astype(dtype), far])  # (n+1, 3)
+    rows = jnp.concatenate([pos_pad, pack.static_rows], axis=1)
+
+    pext = rows[idx].reshape(XYe, cz, cap, r)
+    pi = pext.reshape(cx, cy, cz, cap, r)[1:-1].reshape(XYo, cz, cap, r)
+    # z-halo: plain wrapped copies (min-image absorbs the +-Lz)
+    zh = jnp.concatenate([pext[:, -1:], pext, pext[:, :1]], axis=1)
+    xy_nb = jnp.asarray(_xy_neighbor_table_slab(cx, cy), jnp.int32)
+
+    def halo_cols(zh_slice, cap_x):
+        """(XYe, cz+2, cap_x, r) -> (XYo, 9, r, zcap_pad) neighbor cols."""
+        zcap = (cz + 2) * cap_x
+        zcap_pad = _round_up(zcap, 128)
+        jsrc = jnp.transpose(zh_slice, (0, 3, 1, 2)).reshape(XYe, r, zcap)
+        if zcap_pad != zcap:
+            sent_col = (
+                jnp.zeros((r,), dtype).at[:3].set(1e6).at[4].set(float(n))
+            )
+            pad = jnp.broadcast_to(
+                sent_col[None, :, None], (XYe, r, zcap_pad - zcap)
+            )
+            jsrc = jnp.concatenate([jsrc, pad], axis=2)
+        return jsrc[xy_nb], zcap_pad
+
+    box = jnp.asarray(box_L, dtype).reshape(3)
+    scal = jnp.concatenate(
+        [jnp.asarray(kappa, dtype).reshape(1), box,
+         jnp.asarray(float(n), dtype).reshape(1)]
+    ).reshape(1, 5)
+    rc2 = float(cfg.r_cut) ** 2
+
+    occ_ext = jnp.sum(idx < n, axis=1, dtype=jnp.int32).reshape(XYe, cz)
+    occ_own = occ_ext.reshape(cx, cy, cz)[1:-1].reshape(XYo, cz)
+
+    common_out = dict(
+        out_specs=[
+            pl.BlockSpec((1, cz, cap, 8), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((XYo, cz, cap, 8), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        interpret=interpret,
+    )
+
+    if split:
+        cap2 = cap - cap1
+        lanes_padA = _round_up(27 * cap1, 128)
+        lanes_padB = _round_up(27 * cap2, 128)
+        pjA, zcapA_pad = halo_cols(zh[:, :, :cap1], cap1)
+        pjB, zcapB_pad = halo_cols(zh[:, :, cap1:], cap2)
+        occ_nb = jnp.max(occ_ext[xy_nb], axis=1)  # (XYo, cz)
+        over = jnp.maximum(
+            jnp.maximum(jnp.roll(occ_nb, 1, axis=1), occ_nb),
+            jnp.roll(occ_nb, -1, axis=1),
+        )  # periodic z window max
+        flag = (over > cap1).astype(jnp.int32)
+
+        kernel = functools.partial(
+            _cell_cols_kernel_jsplit, pack=pack, rc2=rc2, cz=cz, cap=cap,
+            cap1=cap1, lanes_padA=lanes_padA, lanes_padB=lanes_padB,
+            s1=s1, wrap=True,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(XYo,),
+            in_specs=[
+                pl.BlockSpec((1, cz, cap, r), lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 9, r, zcapA_pad), lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 9, r, zcapB_pad), lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # (XYo, cz) occ
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # (XYo, cz) B flag
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((r, lanes_padA), jnp.float32),
+                            pltpu.VMEM((r, lanes_padB), jnp.float32)],
+            **common_out,
+        )(pi, pjA, pjB, occ_own, flag, scal)
+    else:
+        lanes_pad = _round_up(27 * cap, 128)
+        pj, zcap_pad = halo_cols(zh, cap)
+        kernel = functools.partial(_cell_cols_kernel, pack=pack, rc2=rc2,
+                                   cz=cz, cap=cap, lanes_pad=lanes_pad,
+                                   s1=s1, wrap=True)
+        out = pl.pallas_call(
+            kernel,
+            grid=(XYo,),
+            in_specs=[
+                pl.BlockSpec((1, cz, cap, r), lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 9, r, zcap_pad), lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # (XYo, cz) occ
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((r, lanes_pad), jnp.float32)],
+            **common_out,
+        )(pi, pj, occ_own, scal)
+    out, elj, eew = out
+
+    from cavmd_tpu.ops.neighbor import slot_gather_forces
+
+    # ext-grid slots -> own-grid slots: drop one x-layer of slots; halo
+    # rows (dump slot) and anything below the first own layer map out of
+    # range and gather zero
+    H = cy * cz * cap
+    ext_slot = clist.slot_of
+    own_slot = jnp.where(ext_slot >= H, ext_slot - H, C_own * cap)
+    forces = slot_gather_forces(
+        out.reshape(C_own, cap, 8), clist._replace(slot_of=own_slot), n
+    )
     e_lj = 0.5 * elj[0, 0]
     e_ew = 0.5 * eew[0, 0]
     return (forces.astype(position.dtype),

@@ -522,6 +522,11 @@ def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
     if use_pallas and base_pack is None:
         raise ValueError("use_pallas needs ff.cell_pallas_pack (uniform "
                          "cutoff with LJ+Coulomb enabled)")
+    # resident mean occupancy for the slab cols kernel's static s1/cap1
+    # splits (the local row count would overcount filler rows)
+    mean_occ_plan = (2.0 * plan.n_mol / plan.S) / max(
+        plan.cxl * plan.ncells[1] * plan.ncells[2], 1
+    )
     mesh_k = tuple(ff.pppm_mesh)
     order = ff.pppm_order
     has_photon = plan.photon_row >= 0 and ff.enable_cavity
@@ -533,6 +538,19 @@ def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
         _mesh_energy,
         _spread_matrices,
     )
+
+    # Per-shard spread backend: same auto-gate as the unsharded solver
+    # (ops/pppm.py make_pppm_force_energy) — the Pallas spread kernel
+    # where its dense-factor crossover + VMEM fit say it wins (100k/32^3
+    # production), the one-GEMM XLA spread otherwise. Both produce the
+    # same (Kx, Ky*Kz) partial grid the force-stage psum accumulates.
+    use_pallas_spread = False
+    if use_pallas:
+        from cavmd_tpu.ops.pppm_pallas import pallas_spread_ok
+
+        use_pallas_spread = interpret or pallas_spread_ok(
+            mesh_k, n=plan.Mrow
+        )
 
     def step(loc: LocalState, rep: RepState, dat: ShardData):
         dtype = loc.position.dtype
@@ -611,13 +629,25 @@ def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
             slot_of=dat.slot,
         )
         if use_pallas:
-            from cavmd_tpu.ops.pallas_kernels import fused_cell_pallas
+            from cavmd_tpu.ops.pallas_kernels import (
+                fused_cell_cols_slab_pallas,
+                fused_cell_pallas,
+            )
 
             lpack = base_pack._replace(static_rows=dat.pack_rows)
-            f_tab, e_lj, e_ew = fused_cell_pallas(
-                pos_tab, box, clist, cfg, lpack, ff.kappa,
-                interpret=interpret,
-            )
+            if min(plan.ncells[1], plan.ncells[2]) >= 3:
+                # column-resident slab kernel: the production cols-kernel
+                # data movement (z-in-lanes, 9-column j fetch, two-tier +
+                # jsplit predication) adapted to the halo'd local grid
+                f_tab, e_lj, e_ew = fused_cell_cols_slab_pallas(
+                    pos_tab, box, clist, cfg, lpack, ff.kappa,
+                    interpret=interpret, mean_occ=mean_occ_plan,
+                )
+            else:
+                f_tab, e_lj, e_ew = fused_cell_pallas(
+                    pos_tab, box, clist, cfg, lpack, ff.kappa,
+                    interpret=interpret,
+                )
         else:
             f_tab, (e_lj, e_ew) = cell_pair_force(
                 pos_tab, box, clist, cfg, kern,
@@ -639,12 +669,21 @@ def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
         # ---- PPPM: per-shard spread, ONE grid psum, replicated solve ----
         Kx, Ky, Kz = mesh_k
 
-        def spread(p):
-            Sx, Sy, Sz = _spread_matrices(p, box, order, mesh_k)
-            A = loc.charge[:, None] * Sx
-            Bm = (Sy[:, :, None] * Sz[:, None, :]).reshape(Mrow, Ky * Kz)
-            return jnp.dot(A.T, Bm, precision=_PPPM_PRECISION,
-                           preferred_element_type=dtype)
+        if use_pallas_spread:
+            from cavmd_tpu.ops.pppm_pallas import spread_grid_pallas
+
+            def spread(p):
+                return spread_grid_pallas(
+                    p, loc.charge, box, order, mesh_k, None, interpret
+                ).astype(dtype)
+        else:
+            def spread(p):
+                Sx, Sy, Sz = _spread_matrices(p, box, order, mesh_k)
+                A = loc.charge[:, None] * Sx
+                Bm = (Sy[:, :, None] * Sz[:, None, :]).reshape(
+                    Mrow, Ky * Kz)
+                return jnp.dot(A.T, Bm, precision=_PPPM_PRECISION,
+                               preferred_element_type=dtype)
 
         grid_loc, spread_vjp = jax.vjp(spread, pos)
 

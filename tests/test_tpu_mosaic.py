@@ -148,10 +148,13 @@ plan = plan_domain(snap, ff, 1)  # one slab on the one real chip
 run_xla = make_domain_runner(ff, methods, plan, rebuild_every=3,
                              use_pallas=False)
 fin_x, obs_x = run_xla(state, 6)
+jax.block_until_ready(fin_x.position)
+print("XLA-tile domain runner done", flush=True)
 run_pl = make_domain_runner(ff, methods, plan, rebuild_every=3,
                             use_pallas=True)
 fin_p, obs_p = run_pl(state, 6)
 jax.block_until_ready(fin_p.position)
+print("Pallas-tile domain runner done", flush=True)
 np.testing.assert_allclose(np.asarray(fin_p.position),
                            np.asarray(fin_x.position),
                            rtol=2e-5, atol=2e-5)
@@ -170,7 +173,7 @@ def test_mosaic_domain_runner_pallas_in_shard_map():
     emulate."""
     proc = subprocess.run(
         [sys.executable, "-c", _DOMAIN_CHECK % REPO],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=900,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "MOSAIC_DOMAIN_OK" in proc.stdout, proc.stdout
