@@ -136,12 +136,13 @@ def plan_domain(snapshot, ff: ForceField, S: int, *, skin: float = 1.0,
                 cap: int | None = None, nb_margin: float = 1.3) -> DomainPlan:
     """Plan the slab decomposition for a snapshot + cell-mode ForceField.
 
-    Cell width is ``r_cut + skin + r_bond`` (not the usual r_cut + skin):
-    a molecule is binned by its FIRST atom, so the partner can sit up to a
-    bond length outside its assigned cell — the fattened width keeps the
-    27-stencil coverage proof intact (see the per-step invariant in
-    ``_make_local_step``). Raises ValueError for unsupported configs; the
-    caller falls back to the GSPMD path.
+    The x cell width is ``r_cut + skin + r_bond`` (not the usual r_cut +
+    skin): a molecule is binned by its bond MIDPOINT, so either atom can
+    sit up to half a bond length outside the slab its molecule resides
+    on — the fattened width keeps the 27-stencil coverage proof intact
+    (see the per-step invariant in ``make_domain_step``). Raises
+    ValueError for unsupported configs; the caller falls back to the
+    GSPMD path.
     """
     if ff.pair_mode != "cell":
         raise ValueError("domain decomposition needs pair_mode='cell'")
@@ -160,10 +161,12 @@ def plan_domain(snapshot, ff: ForceField, S: int, *, skin: float = 1.0,
     r_bond = float(np.max(np.asarray(ff.bond_r0))) * 1.25 + 0.5
     # per-axis widths: pair coverage needs excess_i + excess_j + r_cut <=
     # width per axis, where excess = distance outside the assigned cell
-    # box. Only x suffers the molecule clamp (a bond partner can sit up to
-    # ~r_bond outside its slab, and BOTH pair members can be clamped), so
-    # w_x carries 2*r_bond; y/z bin by true cells (drift-only excess).
-    wx = r_cut + skin + 2.0 * r_bond
+    # box. Only x suffers the molecule clamp: binning by the bond
+    # MIDPOINT bounds each atom's clamp excess at r_bond/2 (vs r_bond
+    # under first-atom binning), and BOTH pair members can be clamped,
+    # so w_x carries 2*(r_bond/2) = r_bond; y/z bin by true cells
+    # (drift-only excess).
+    wx = r_cut + skin + r_bond
     wyz = r_cut + skin
 
     cy = int(box_L[1] // wyz)
@@ -283,8 +286,24 @@ def _rebuild_one(position, plan: DomainPlan, box_L,
         0, ncells - 1,
     )
 
-    # ---- molecules -> slabs (by atom 0), sorted into per-shard slots ----
-    mol_slab = cell3[0:2 * n_mol:2, 0] // cxl  # (n_mol,)
+    # ---- molecules -> slabs (by bond midpoint), sorted into slots ----
+    # midpoint binning halves the per-atom clamp excess vs first-atom
+    # binning (plan_domain's wx carries r_bond instead of 2*r_bond —
+    # ~15% thinner x cells, directly cutting the tile kernel's lane
+    # window). The midpoint is taken through the bond's minimum image
+    # (straddling atoms wrap-average to mid-box otherwise), then wrapped.
+    x0 = position[0:2 * n_mol:2, 0]
+    dxb = position[1:2 * n_mol:2, 0] - x0
+    Lx = box[0]
+    dxb = dxb - Lx * jnp.round(dxb / Lx)
+    xc = x0 + 0.5 * dxb
+    xc = xc - Lx * jnp.floor(xc / Lx + 0.5)  # wrap to [-Lx/2, Lx/2)
+    cellx_c = jnp.clip(
+        jnp.floor((xc / Lx + 0.5) * ncells[0].astype(dtype)).astype(
+            jnp.int32),
+        0, ncells[0] - 1,
+    )
+    mol_slab = cellx_c // cxl  # (n_mol,)
     order = jnp.argsort(mol_slab, stable=True).astype(jnp.int32)
     sorted_slab = mol_slab[order]
     iota = jnp.arange(n_mol, dtype=jnp.int32)

@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--rebuild", type=int, default=10,
                     help="domain residency-rebuild cadence (steps)")
     ap.add_argument("--chunk", type=int, default=100)
+    ap.add_argument("--skip-ref", action="store_true",
+                    help="skip the unsharded reference leg")
     cli = ap.parse_args()
 
     from cavmd_tpu.drivers.workloads import build_large_n
@@ -65,9 +67,11 @@ def main():
                    gamma=PC.gamma_from_tau_ps(5.0)),
     ), ff.l_typeid)
 
-    ms_ref, _ = _time(runner, state, cli.chunk, 3)
-    print(f"unsharded runner: {ms_ref:.2f} ms/step "
-          f"(N={snap.N}, backend={jax.default_backend()})")
+    ms_ref = None
+    if not cli.skip_ref:
+        ms_ref, _ = _time(runner, state, cli.chunk, 3)
+        print(f"unsharded runner: {ms_ref:.2f} ms/step "
+              f"(N={snap.N}, backend={jax.default_backend()})")
 
     plan = plan_domain(snap, ff, 1)
     run_dom = make_domain_runner(ff, methods, plan,
@@ -78,7 +82,8 @@ def main():
     print(f"domain S=1 runner: {ms_dom:.2f} ms/step "
           f"(rebuild every {cli.rebuild}; grid {plan.ncells}, "
           f"cap {plan.cap}, halo 2x{plan.H} rows = {halo_kb:.0f} KB/step)")
-    print(f"single-chip overhead: {(ms_dom / ms_ref - 1) * 100:+.1f}%")
+    if ms_ref is not None:
+        print(f"single-chip overhead: {(ms_dom / ms_ref - 1) * 100:+.1f}%")
 
 
 if __name__ == "__main__":
