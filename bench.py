@@ -110,6 +110,39 @@ def bench_replicas(n_rep=8):
     return n_rep * n_chunks * chunk / wall
 
 
+def bench_domain_s1(n_mol=50_000):
+    """Single-chip cost of the multi-chip slab pipeline
+    (parallel/domain.py) at the N=100k workload: ms/step at S=1 — the
+    per-chip price of the domain layout, which the virtual-mesh fidelity
+    tests cannot measure. Tracked per round next to n100k_ms_per_step so
+    regressions in the shard_map path show up in the harness record
+    (sweep details: scripts/bench_domain_s1.py, docs/performance.md
+    "Multi-chip")."""
+    import numpy as np
+
+    from cavmd_tpu.core import PhysicalConstants as PC
+    from cavmd_tpu.drivers.workloads import build_large_n
+    from cavmd_tpu.integrate import MethodSpec, resolve_methods
+    from cavmd_tpu.parallel.domain import make_domain_runner, plan_domain
+
+    runner, state, snap, ff = build_large_n(n_mol)
+    kT = PC.kT_from_kelvin(100.0)
+    methods = resolve_methods(snap, (
+        MethodSpec(kind="bussi", group="molecular", kT=kT,
+                   tau=PC.ps_to_atomic_units(5.0)),
+        MethodSpec(kind="langevin", group="cavity", kT=kT,
+                   gamma=PC.gamma_from_tau_ps(5.0)),
+    ), ff.l_typeid)
+    plan = plan_domain(snap, ff, 1)
+    run = make_domain_runner(ff, methods, plan)
+    chunk, n_chunks = 100, 2
+    wall, _, _ = _time_chunks(
+        run, state, chunk, n_chunks, lambda s: s.position,
+        check=lambda o: _assert_no_overflow(np, o),
+    )
+    return wall / (n_chunks * chunk) * 1e3
+
+
 def bench_conservation(n_steps=80_000, burn_in=120_000):
     """Physics-quality artifact (VERDICT r3 item 2): universe-energy drift
     over an f32 run at the flagship config, tracked per round the way
@@ -187,6 +220,7 @@ def main():
         detail["replica_b8_aggregate_steps_per_sec"] = round(
             bench_replicas(), 0
         )
+        detail["domain_s1_ms_per_step"] = round(bench_domain_s1(), 2)
     else:
         detail["large_n_and_replica_benches"] = (
             f"skipped on backend={jax.default_backend()} (TPU-sized)"

@@ -133,7 +133,7 @@ class DomainPlan(NamedTuple):
 
 
 def plan_domain(snapshot, ff: ForceField, S: int, *, skin: float = 1.0,
-                cap: int | None = None, nb_margin: float = 1.3) -> DomainPlan:
+                cap: int | None = None, nb_margin: float = 1.1) -> DomainPlan:
     """Plan the slab decomposition for a snapshot + cell-mode ForceField.
 
     The x cell width is ``r_cut + skin + r_bond`` (not the usual r_cut +
@@ -195,7 +195,11 @@ def plan_domain(snapshot, ff: ForceField, S: int, *, skin: float = 1.0,
     photon_row = int(photon_rows[0]) if len(photon_rows) else -1
 
     mean_mol = n_mol / S
-    nb_cap = int(np.ceil(mean_mol * nb_margin + 4.0 * np.sqrt(mean_mol) + 8))
+    # filler rows cost real work in EVERY per-row chunk op (spread,
+    # bonds, thermostats, VV): mean*margin covers systematic slab
+    # imbalance, the 6-sigma term covers density fluctuations; slab
+    # overflow is detected at rebuild and recovered by grow_cap + retry
+    nb_cap = int(np.ceil(mean_mol * nb_margin + 6.0 * np.sqrt(mean_mol) + 8))
     # tail slots per shard: fillers; the photon is pinned at the LAST row
     # of the LAST shard (pair-inert, so its slab is irrelevant and its
     # local index is static — the langevin cavity bath needs that)
@@ -495,7 +499,7 @@ def _validate_methods(methods):
 
 def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
                      axis=AXIS, use_pallas=False, interpret=False,
-                     cell_block=None):
+                     cell_block=None, s1=None, jsplit=None):
     """Build the per-shard fused MD step run inside ``shard_map``.
 
     Same physics protocol as ``integrator.make_step_fn`` (two-half-step
@@ -661,6 +665,7 @@ def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
                 f_tab, e_lj, e_ew = fused_cell_cols_slab_pallas(
                     pos_tab, box, clist, cfg, lpack, ff.kappa,
                     interpret=interpret, mean_occ=mean_occ_plan,
+                    s1=s1, jsplit=jsplit,
                 )
             else:
                 f_tab, e_lj, e_ew = fused_cell_pallas(
@@ -987,7 +992,8 @@ def _scatter_out(state: MDState, data: DomainData, loc: LocalState,
 def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
                        mesh=None, *, rebuild_every: int = 10,
                        use_pallas: bool | None = None,
-                       interpret: bool = False, cell_block=None):
+                       interpret: bool = False, cell_block=None,
+                       s1=None, jsplit=None):
     """Build ``run(state, n_steps) -> (state, obs)`` over the slab mesh.
 
     The drop-in domain-decomposed counterpart of
@@ -1021,7 +1027,7 @@ def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
                       and ff.cell_pallas_pack is not None)
     step = make_domain_step(
         ff, methods, plan, use_pallas=use_pallas or interpret,
-        interpret=interpret, cell_block=cell_block,
+        interpret=interpret, cell_block=cell_block, s1=s1, jsplit=jsplit,
     )
     pack = ff.cell_pallas_pack if (use_pallas or interpret) else None
 

@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--skip-ref", action="store_true",
                     help="skip the unsharded reference leg")
+    ap.add_argument("--s1", type=int, default=None,
+                    help="two-tier i-row split (sweep knob)")
+    ap.add_argument("--jsplit", type=int, default=None,
+                    help="j-window capacity split (sweep knob; 0 disables)")
     cli = ap.parse_args()
 
     from cavmd_tpu.drivers.workloads import build_large_n
@@ -75,7 +79,8 @@ def main():
 
     plan = plan_domain(snap, ff, 1)
     run_dom = make_domain_runner(ff, methods, plan,
-                                 rebuild_every=cli.rebuild)
+                                 rebuild_every=cli.rebuild,
+                                 s1=cli.s1, jsplit=cli.jsplit)
     ms_dom, obs = _time(run_dom, state, cli.chunk, 3)
     assert not np.asarray(obs["cell_overflow"]).any(), "overflow"
     halo_kb = 2 * plan.H * 12 / 1024
