@@ -125,7 +125,7 @@ class DomainPlan(NamedTuple):
         half-again molecule slots per slab — covers both failure modes the
         rebuild flags (shares the driver's ``_grow_cell_capacity``
         semantics: re-plan and retry instead of aborting)."""
-        nb = self.nb_cap + self.nb_cap // 2 + 4
+        nb = min(self.nb_cap + self.nb_cap // 2 + 4, self.n_mol)
         return self._replace(
             cap=max(self.cap + 4, self.cap * 2),
             nb_cap=nb, Mrow=2 * nb + self.tail,
@@ -198,8 +198,13 @@ def plan_domain(snapshot, ff: ForceField, S: int, *, skin: float = 1.0,
     # filler rows cost real work in EVERY per-row chunk op (spread,
     # bonds, thermostats, VV): mean*margin covers systematic slab
     # imbalance, the 6-sigma term covers density fluctuations; slab
-    # overflow is detected at rebuild and recovered by grow_cap + retry
+    # overflow is detected at rebuild and recovered by grow_cap + retry.
+    # A slab can never hold more than ALL molecules, so capacity past
+    # n_mol is provably dead rows — the clamp matters at S=1 (the
+    # honest-overhead bench layout), where the margin otherwise adds
+    # ~13% filler to every per-row op.
     nb_cap = int(np.ceil(mean_mol * nb_margin + 6.0 * np.sqrt(mean_mol) + 8))
+    nb_cap = max(1, min(nb_cap, n_mol))
     # tail slots per shard: fillers; the photon is pinned at the LAST row
     # of the LAST shard (pair-inert, so its slab is irrelevant and its
     # local index is static — the langevin cavity bath needs that)

@@ -33,6 +33,14 @@ from cavmd_tpu.integrate.integrator import (
 from cavmd_tpu.integrate.rng import STREAM_THERMALIZE, master_key, stream_key
 from cavmd_tpu.integrate.thermostats import thermalize_velocities
 
+# Default residency-rebuild cadence (steps) for the domain-decomposed
+# slab pipeline. Measured at the N=100k production workload (v5e,
+# scripts/bench_domain_s1.py sweep): see docs/performance.md
+# "Multi-chip". Rebuild cadence does not affect the trajectory (only
+# when re-binning happens); the per-step coverage invariant plus the
+# retry loop in run() keeps longer cadences safe.
+DOMAIN_REBUILD_EVERY = 10
+
 
 class Simulation:
     """A single MD simulation on the current default JAX device."""
@@ -69,6 +77,7 @@ class Simulation:
         # shard_atoms (parallel.pad_snapshot_to).
         self.mesh = None
         self._domain_plan = None
+        self._domain_rebuild_every = DOMAIN_REBUILD_EVERY
         if shard_atoms > 1:
             from cavmd_tpu.parallel.mesh import make_mesh
 
@@ -140,6 +149,7 @@ class Simulation:
 
             self._run_chunk = make_domain_runner(
                 self.ff, self.methods, self._domain_plan, self.mesh,
+                rebuild_every=self._domain_rebuild_every,
             )
         elif self.mesh is not None:
             from cavmd_tpu.parallel.mesh import state_shardings
@@ -173,8 +183,17 @@ class Simulation:
         self.ff = dataclasses.replace(self.ff, **updates)
         if self._domain_plan is not None:
             # the slab pipeline has its own capacities (bucket cap +
-            # molecule slots per slab) — grow both and recompile
+            # molecule slots per slab) — grow both and recompile. The
+            # domain path's overflow flag conflates two failure modes:
+            # bucket/slab overflow (fixed by more capacity) and the
+            # per-step drift-coverage invariant (fixed only by re-binning
+            # more often — retries are deterministic, so growing capacity
+            # alone would re-fail identically). Move both levers so the
+            # retry loop converges whichever mode fired.
             self._domain_plan = self._domain_plan.grow_cap()
+            self._domain_rebuild_every = max(
+                3, self._domain_rebuild_every // 2
+            )
             new_cap = self._domain_plan.cap
         self._build_runner()
         return new_cap

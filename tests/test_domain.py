@@ -206,6 +206,12 @@ def test_simulation_routes_shard_atoms_through_domain(system):
     sim_bad._build_runner()
     sim_bad.run(n_steps=12)
     assert sim_bad._domain_plan.cap >= 4  # recovery grew the plan
+    # ... and shortened the rebuild cadence: the overflow flag conflates
+    # capacity overflow with the drift-coverage invariant, and only a
+    # shorter cadence fixes the latter (retries are deterministic)
+    from cavmd_tpu.simulation import DOMAIN_REBUILD_EVERY
+
+    assert sim_bad._domain_rebuild_every < DOMAIN_REBUILD_EVERY
     np.testing.assert_allclose(
         np.asarray(sim_bad.state.position), np.asarray(sim_ref.state.position),
         rtol=1e-10, atol=1e-12,
@@ -273,3 +279,15 @@ def test_plan_rejections():
                                 pair_mode="cell", pppm_mesh=(16, 16, 16))
     with pytest.raises(ValueError, match="box too small"):
         plan_domain(snap, ff_cell, 8)
+
+
+def test_plan_nb_cap_clamped_at_n_mol(system):
+    """Slab capacity can never usefully exceed the total molecule count —
+    at S=1 the clamp removes ~13% filler rows from every per-row op
+    (and grow_cap must respect it too)."""
+    snap, ff, _, _ = system
+    plan = plan_domain(snap, ff, 1)
+    assert plan.nb_cap == plan.n_mol
+    grown = plan.grow_cap()
+    assert grown.nb_cap == plan.n_mol
+    assert grown.cap > plan.cap
