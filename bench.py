@@ -143,19 +143,27 @@ def bench_domain_s1(n_mol=50_000):
     return wall / (n_chunks * chunk) * 1e3
 
 
-def bench_conservation(n_steps=80_000, burn_in=120_000):
+def bench_conservation(n_steps=80_000, burn_in=320_000):
     """Physics-quality artifact (VERDICT r3 item 2): universe-energy drift
     over an f32 run at the flagship config, tracked per round the way
     steps/s is. The reference's only quantitative correctness result is
     exactly this quantity: universe drift 0.0055 Ha over 50.9 ps
-    (notebook cell 37 / BASELINE.md). Here: ``burn_in`` steps (30 ps,
-    ~6 bath tau) equilibrate the freshly generated lattice (the reference
-    measures on an equilibrated init-0.gsd frame; the LJ lattice releases
-    potential energy for the first ~4 tau, measured mean T 183 K at a
-    6 ps burn-in vs 112 K at 30 ps), then ``n_steps`` x 0.25 fs = 20 ps is
-    the measurement window; reports the end-to-end drift, the per-ps
-    drift rate, the sigma around the mean, and the mean/final molecular
-    kinetic temperature (target 100 K).
+    (notebook cell 37 / BASELINE.md). Here: ``burn_in`` steps (80 ps,
+    16 bath tau) equilibrate the freshly generated lattice, then
+    ``n_steps`` x 0.25 fs = 20 ps is the measurement window; reports the
+    end-to-end drift, the per-ps drift rate, the sigma around the mean,
+    and the mean/final molecular kinetic temperature (target 100 K).
+
+    Burn-in calibration (VERDICT r4 item 2, measured on v5e): the
+    freshly generated lattice relaxes structurally with an effective
+    time constant ~12 ps — much slower than the 5 ps bath tau — so the
+    20-ps window mean T reads 275 K ending at 20 ps, 120 K at 40 ps,
+    103.5 K at 60 ps, 100.8 K at 80 ps, then stays 100 +- 1.5 K for the
+    next 120 ps (same-session sweep; r4's 111.7 K anomaly was exactly
+    this under-equilibration at the old 30 ps burn-in, NOT a
+    thermostat/DOF bias — the Bussi distribution tests and the
+    suite-level equilibrium mean-T assertion in tests/test_integrate.py
+    pin the formula). 320k burn-in steps cost ~20 s at TPU rates.
     """
     import jax
     import numpy as np

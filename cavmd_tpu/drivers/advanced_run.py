@@ -362,10 +362,18 @@ class CavityMDSimulation:
             rng_impl=self.rng_impl,
         )
         if self.shard_atoms > 1:
-            self.log_info(
-                f"Sharded production: particle arrays over "
-                f"{self.shard_atoms} devices (mesh 1x{self.shard_atoms})"
-            )
+            if self.sim._domain_plan is not None:
+                self.log_info(
+                    f"Sharded production: domain pipeline "
+                    f"({self.shard_atoms} slabs via shard_map + halo "
+                    f"exchange)"
+                )
+            else:
+                self.log_info(
+                    f"Sharded production: GSPMD particle-array sharding "
+                    f"over {self.shard_atoms} devices (domain pipeline "
+                    f"unavailable for this config — see warning above)"
+                )
         self.sim.thermalize(self.kT)
         self.log_info("Thermalized molecular momenta (+ photon velocity)")
 
@@ -980,15 +988,16 @@ def build_parser():
                         help="shard particle arrays over this many devices "
                              "(1 x K mesh; N is ghost-padded to a multiple "
                              "of K; XLA inserts the dipole/KE/PPPM psums)")
-    parser.add_argument("--rng-impl", choices=("threefry", "rbg"),
-                        default="threefry",
+    parser.add_argument("--rng-impl", choices=("auto", "threefry", "rbg"),
+                        default="auto",
                         help="PRNG backend for the thermostat streams. "
-                             "threefry (default) bits are invariant under "
-                             "sharding and across compiler versions; rbg "
-                             "(XLA RngBitGenerator) is a measured 8.8%% "
-                             "faster full step on the N=501 flagship "
-                             "(v5e) but its bits are not stable across "
-                             "versions/meshes — throughput runs only")
+                             "auto (default) = rbg on TPU, threefry "
+                             "elsewhere. rbg (XLA RngBitGenerator) is a "
+                             "measured 8.8%% faster full step on the N=501 "
+                             "flagship (v5e); threefry bits are invariant "
+                             "under sharding and across compiler versions "
+                             "— pass it explicitly for bitwise-reproducible "
+                             "or --pad-atoms comparator runs")
     parser.add_argument("--pad-atoms", type=int, default=0,
                         help="ghost-pad N to a multiple WITHOUT sharding "
                              "(single-device bitwise comparator for "

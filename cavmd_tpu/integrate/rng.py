@@ -35,17 +35,25 @@ def stream_key(seed_key, stream_id: int, timestep, instance: int = 0):
 def master_key(seed: int, impl: str | None = None):
     """Root key for an MDState's RNG streams.
 
-    ``impl=None`` (default) is threefry2x32 — the only JAX PRNG whose
-    bits are guaranteed invariant under sharding/partitioning and across
-    compiler versions, which the sharded==unsharded bitwise comparator
-    tests rely on. ``impl="rbg"`` swaps in XLA's RngBitGenerator-backed
-    PRNG: measured 8.8% faster full MD step on the N=501 flagship on v5e
+    ``impl=None`` (the default) resolves per backend: **rbg on TPU,
+    threefry elsewhere**. rbg (XLA's RngBitGenerator-backed PRNG) is a
+    measured 8.8% faster full MD step on the N=501 flagship on v5e
     (16.9k -> 18.5k steps/s same-session; the threefry bit computation is
-    a real VPU cost at small N). rbg bits are NOT guaranteed stable
-    across JAX/compiler versions or device meshes — use it for
-    throughput, not for bitwise-reproducible sharded runs.
+    a real VPU cost at small N), and every thermostat-distribution test
+    holds for either PRNG — so throughput hardware gets the fast stream
+    by default. The tradeoff (and why CPU stays threefry): threefry2x32
+    is the only JAX PRNG whose bits are guaranteed invariant under
+    sharding/partitioning and across compiler versions — the
+    sharded==unsharded bitwise comparator tests and any
+    trajectory-reproducibility workflow rely on that. Pass
+    ``impl="threefry"`` explicitly (CLI ``--rng-impl threefry``) for
+    bitwise-reproducible TPU runs; a given compiled rbg program is still
+    deterministic for a fixed seed, but its bits are not portable across
+    JAX versions or device meshes.
     """
-    if impl is None or impl == "threefry":
+    if impl is None or impl == "auto":
+        impl = "rbg" if jax.default_backend() == "tpu" else "threefry"
+    if impl == "threefry":
         # old-style uint32 key: bit-compatible with every existing test
         return jax.random.PRNGKey(seed)
     return jax.random.key(seed, impl=impl)

@@ -75,6 +75,12 @@ def make_extra_obs(
     The returned per-step entries stream to the host with the energy audit:
     - 'dipole': (3,) total dipole (for DipoleAutocorrelation);
     - 'rho_k_re'/'rho_k_im': (nk,) density field (for F(k,t)).
+
+    The returned callable carries its spec as attributes (``.dipole``,
+    ``.wavevectors``) so the domain-decomposed runner can compute the SAME
+    observables from shard-local partial sums + one psum instead of a
+    global state (parallel/domain.py) — an opaque state-based callable
+    cannot run on that path and falls back to GSPMD sharding.
     """
     wv = None if wavevectors is None else jnp.asarray(wavevectors)
 
@@ -90,4 +96,6 @@ def make_extra_obs(
             out["rho_k_im"] = jnp.imag(rho)
         return out
 
+    extra.dipole = dipole
+    extra.wavevectors = None if wavevectors is None else np.asarray(wavevectors)
     return extra

@@ -124,8 +124,10 @@ class DomainPlan(NamedTuple):
         """Overflow recovery: re-plan with a doubled bucket capacity and
         half-again molecule slots per slab — covers both failure modes the
         rebuild flags (shares the driver's ``_grow_cell_capacity``
-        semantics: re-plan and retry instead of aborting)."""
-        nb = min(self.nb_cap + self.nb_cap // 2 + 4, self.n_mol)
+        semantics: re-plan and retry instead of aborting). The max(1, ..)
+        floor matches plan_domain's, so a degenerate n_mol can never
+        produce zero-width per-slab arrays."""
+        nb = max(1, min(self.nb_cap + self.nb_cap // 2 + 4, self.n_mol))
         return self._replace(
             cap=max(self.cap + 4, self.cap * 2),
             nb_cap=nb, Mrow=2 * nb + self.tail,
@@ -463,6 +465,7 @@ class RepState(NamedTuple):
     bussi_instantaneous: jnp.ndarray
     langevin_reservoir: jnp.ndarray
     mttk: MTTKState
+    error_tolerance: jnp.ndarray  # adaptive-dt controller state
 
 
 class ShardData(NamedTuple):
@@ -504,7 +507,8 @@ def _validate_methods(methods):
 
 def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
                      axis=AXIS, use_pallas=False, interpret=False,
-                     cell_block=None, s1=None, jsplit=None):
+                     cell_block=None, s1=None, jsplit=None,
+                     adaptive=None, obs_spec=None):
     """Build the per-shard fused MD step run inside ``shard_map``.
 
     Same physics protocol as ``integrator.make_step_fn`` (two-half-step
@@ -524,7 +528,24 @@ def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
     (f32; ``interpret=True`` emulates it off-TPU) — the round-3 gap this
     module exists to close: GSPMD cannot partition a ``pallas_call``, but
     under ``shard_map`` each shard runs the kernel on its own slab.
+
+    ``adaptive``: dict(error_tolerance, initial_fraction, time_constant_ps,
+    period) — runs the adaptive-dt controller (integrate/adaptive.py,
+    reference src/cavitymd/simulation.py:59-92) INSIDE the sharded step:
+    the ``sum |F|/m`` reduction is one shard-local partial + one scalar
+    psum; dt / the tolerance ramp are replicated scalars carried in
+    ``RepState``. This is the reference's production default
+    (``error_tolerance=0`` only under ``--fixed-timestep``,
+    examples/05_advanced_run.py:1390-1398) — VERDICT r4 item 1.
+
+    ``obs_spec``: ``(dipole: bool, wavevectors: (nk,3) array | None)`` —
+    the structured counterpart of ``observe.make_extra_obs``: the dipole
+    reuses the step's existing psum'd reduction; rho(k) is a shard-local
+    ``sum cos/sin(k.r)`` over valid rows folded into the same bundled
+    force-stage psum (analysis.py:260-418's per-step F(k,t) inputs,
+    computed with zero extra collectives).
     """
+    from cavmd_tpu.core.units import PhysicalConstants
     from cavmd_tpu.ops.neighbor import cell_pair_force
 
     _validate_methods(methods)
@@ -560,6 +581,14 @@ def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
     has_photon = plan.photon_row >= 0 and ff.enable_cavity
     fwd = [(i, (i + 1) % S) for i in range(S)]
     bwd = [(i, (i - 1) % S) for i in range(S)]
+    want_dipole = bool(obs_spec and obs_spec[0])
+    wv_np = obs_spec[1] if obs_spec is not None else None
+    if adaptive is not None:
+        adp_target = float(adaptive["error_tolerance"])
+        adp_initial = adp_target * float(
+            adaptive.get("initial_fraction", 1e-3))
+        adp_inv_tau = 1.0 / float(adaptive.get("time_constant_ps", 50.0))
+        adp_period = int(adaptive.get("period", 1))
 
     from cavmd_tpu.ops.pppm import (
         _PPPM_PRECISION,
@@ -583,6 +612,26 @@ def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
     def step(loc: LocalState, rep: RepState, dat: ShardData):
         dtype = loc.position.dtype
         dt = rep.dt
+        err_tol = rep.error_tolerance
+        if adaptive is not None:
+            # adaptive-dt controller at step start (the unsharded
+            # make_adaptive_step transplanted): sum |F|/m over cached
+            # forces is a shard-local partial + one scalar psum (filler
+            # rows carry F=0 and contribute nothing). Computed
+            # unconditionally (a psum inside a lax.cond branch is not
+            # collective-safe) and gated with where() on the period.
+            fnorm = jnp.sqrt(jnp.sum(loc.forces * loc.forces, axis=1))
+            s_f = jax.lax.psum(jnp.sum(fnorm / loc.mass), axis)
+            t_ps = rep.time_au * PhysicalConstants.TIME_PS_CONVERSION
+            tol = (adp_target
+                   - (adp_target - adp_initial) * jnp.exp(-t_ps * adp_inv_tau)
+                   ).astype(dtype)
+            new_dt = jnp.sqrt(
+                tol / jnp.maximum(s_f, jnp.finfo(dtype).tiny)
+            ).astype(dtype)
+            do = (rep.timestep % adp_period) == 0
+            dt = jnp.where(do, new_dt, dt)
+            err_tol = jnp.where(do, tol, err_tol)
         box = rep.box_L
         v = loc.velocity
         mol_mask = dat.valid & (loc.typeid != l_typeid)
@@ -724,12 +773,23 @@ def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
             jnp.where(cav_mask[:, None], unw, jnp.zeros((), dtype)), axis=0
         )
 
+        # rho(k) partials over VALID rows (wrapped positions, like the
+        # reference's compute_density_field, analysis.py:34-47; filler
+        # rows sit at the origin where cos = 1 and must be masked out)
+        rho_loc = None
+        if wv_np is not None:
+            wv = jnp.asarray(wv_np, dtype)
+            kr = pos @ wv.T  # (Mrow, nk)
+            wvalid = dat.valid.astype(dtype)
+            rho_loc = (wvalid @ jnp.cos(kr), wvalid @ jnp.sin(kr))
+
         # ---- ONE bundled force-stage psum ----
+        rho_in = rho_loc if rho_loc is not None else ()
         (grid_tot, e_lj, e_ew, e_bond, e_corr, e_self, dip, qph,
-         violf) = jax.lax.psum(
+         violf, *rho_tot) = jax.lax.psum(
             (grid_loc, e_lj.astype(dtype), e_ew.astype(dtype), e_bond,
              e_corr, e_self_loc, dip_loc, qph_loc,
-             bad.astype(dtype)),
+             bad.astype(dtype), *rho_in),
             axis,
         )
 
@@ -837,6 +897,7 @@ def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
             bussi_reservoir_rot=rep.bussi_reservoir_rot,
             bussi_instantaneous=bussi_inst,
             langevin_reservoir=lang_res, mttk=mttk,
+            error_tolerance=err_tol,
         )
         obs = dict(energies)
         obs["kinetic_molecular"] = ke_mol
@@ -848,6 +909,16 @@ def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
         obs["dt"] = dt
         obs["time_au"] = new_rep.time_au
         obs["timestep"] = new_rep.timestep
+        if adaptive is not None:
+            obs["error_tolerance"] = err_tol
+        if want_dipole:
+            # == make_extra_obs's charge @ unwrapped over all rows: ghost
+            # padding rows carry zero charge and the photon's charge is
+            # zero by construction (add_cavity_particle; reference
+            # 05_advanced_run.py:465)
+            obs["dipole"] = dip
+        if rho_loc is not None:
+            obs["rho_k_re"], obs["rho_k_im"] = rho_tot
         return new_loc, new_rep, obs
 
     return step
@@ -954,6 +1025,7 @@ def _scatter_in(state: MDState, data: DomainData, plan: DomainPlan,
         bussi_instantaneous=state.bussi_instantaneous,
         langevin_reservoir=state.langevin_reservoir,
         mttk=state.mttk,
+        error_tolerance=state.error_tolerance,
     )
     return loc, dat, rep
 
@@ -983,6 +1055,7 @@ def _scatter_out(state: MDState, data: DomainData, loc: LocalState,
         image=back(state.image, loc.image),
         velocity=back(state.velocity, loc.velocity),
         forces=back(state.forces, loc.forces),
+        dt=rep.dt,
         time_au=rep.time_au,
         time_comp=rep.time_comp,
         timestep=rep.timestep,
@@ -991,6 +1064,7 @@ def _scatter_out(state: MDState, data: DomainData, loc: LocalState,
         bussi_instantaneous=rep.bussi_instantaneous,
         langevin_reservoir=rep.langevin_reservoir,
         mttk=rep.mttk,
+        error_tolerance=rep.error_tolerance,
     )
 
 
@@ -998,7 +1072,8 @@ def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
                        mesh=None, *, rebuild_every: int = 10,
                        use_pallas: bool | None = None,
                        interpret: bool = False, cell_block=None,
-                       s1=None, jsplit=None):
+                       s1=None, jsplit=None, adaptive=None,
+                       obs_spec=None, n_replicas: int = 1):
     """Build ``run(state, n_steps) -> (state, obs)`` over the slab mesh.
 
     The drop-in domain-decomposed counterpart of
@@ -1013,30 +1088,55 @@ def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
     backend (f32) — the Pallas tile kernel per shard — and False
     elsewhere (the XLA tile path; ``interpret=True`` forces the Pallas
     kernel in interpret mode for off-TPU validation).
+
+    ``n_replicas > 1`` composes the reference's TWO scale-out axes on ONE
+    mesh (SLURM array replicas over MPI-decomposed ranks,
+    submit.sh:4 x 05_advanced_run.py:573 — VERDICT r4 item 4): the state
+    is a batched MDState (leading replica axis, from
+    ``init_replica_states``) and the chunk runs under ``shard_map`` over
+    the 2-D ('replica', 'atoms') mesh — each of the R x S program
+    instances owns one replica's one slab; the per-step psums reduce over
+    'atoms' only, so replicas stay independent and each matches its own
+    unsharded trajectory to f64 roundoff. Rebuild/scatter are vmapped
+    over the replica axis. Obs leaves gain a trailing replica axis
+    ((steps, R, ...)) — the ``run_replica_steps`` convention.
     """
     from jax.sharding import Mesh
 
+    batched = n_replicas > 1
     if mesh is None:
-        devs = jax.devices()[:plan.S]
-        if len(devs) < plan.S:
+        need = n_replicas * plan.S
+        devs = jax.devices()[:need]
+        if len(devs) < need:
             raise ValueError(
-                f"{plan.S} slabs need {plan.S} devices; have {len(devs)}"
+                f"{n_replicas} replicas x {plan.S} slabs need {need} "
+                f"devices; have {len(devs)}"
             )
-        mesh = Mesh(np.asarray(devs), (AXIS,))
-    msize = dict(zip(mesh.axis_names, mesh.devices.shape))[AXIS]
-    if msize != plan.S:
-        raise ValueError(f"mesh axis '{AXIS}' has {msize} devices, "
+        if batched:
+            mesh = Mesh(np.asarray(devs).reshape(n_replicas, plan.S),
+                        ("replica", AXIS))
+        else:
+            mesh = Mesh(np.asarray(devs), (AXIS,))
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if sizes[AXIS] != plan.S:
+        raise ValueError(f"mesh axis '{AXIS}' has {sizes[AXIS]} devices, "
                          f"plan has {plan.S} slabs")
+    if batched and sizes.get("replica", 1) != n_replicas:
+        raise ValueError(
+            f"mesh axis 'replica' has {sizes.get('replica', 1)} devices, "
+            f"runner has n_replicas={n_replicas}"
+        )
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       and ff.cell_pallas_pack is not None)
     step = make_domain_step(
         ff, methods, plan, use_pallas=use_pallas or interpret,
         interpret=interpret, cell_block=cell_block, s1=s1, jsplit=jsplit,
+        adaptive=adaptive, obs_spec=obs_spec,
     )
     pack = ff.cell_pallas_pack if (use_pallas or interpret) else None
+    wv_np = obs_spec[1] if obs_spec is not None else None
 
-    lspec, rspec = P(AXIS), P()
     chunk_cache = {}
 
     def chunk(k: int):
@@ -1052,30 +1152,98 @@ def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
                 )
                 return loc2, rep2, obs
 
-            chunk_cache[k] = _shard_map(
-                run_chunk, mesh,
-                in_specs=(lspec, rspec, lspec),
-                out_specs=(lspec, rspec, rspec),
-            )
+            if batched:
+                # each (replica, slab) program instance sees leading
+                # singleton axes: squeeze them, run the shard-local chunk,
+                # and restore the batch layout (obs gain the trailing
+                # replica axis of the run_replica_steps convention)
+                tm = jax.tree_util.tree_map
+
+                def run_chunk_b(loc, rep, dat):
+                    loc2, rep2, obs = run_chunk(
+                        tm(lambda a: a[0], loc), tm(lambda a: a[0], rep),
+                        tm(lambda a: a[0], dat),
+                    )
+                    return (tm(lambda a: a[None], loc2),
+                            tm(lambda a: a[None], rep2),
+                            tm(lambda a: a[:, None], obs))
+
+                chunk_cache[k] = _shard_map(
+                    run_chunk_b, mesh,
+                    in_specs=(P("replica", AXIS), P("replica"),
+                              P("replica", AXIS)),
+                    out_specs=(P("replica", AXIS), P("replica"),
+                               P(None, "replica")),
+                )
+            else:
+                lspec, rspec = P(AXIS), P()
+                chunk_cache[k] = _shard_map(
+                    run_chunk, mesh,
+                    in_specs=(lspec, rspec, lspec),
+                    out_specs=(lspec, rspec, rspec),
+                )
         return chunk_cache[k]
+
+    if batched:
+        rebuild = jax.vmap(
+            lambda p, b: _rebuild_one(p, plan, b, ff.bond_k_per,
+                                      ff.bond_r0_per, ff.pair_inert)
+        )
+        scat_in = jax.vmap(lambda st, da: _scatter_in(st, da, plan, ff,
+                                                      pack))
+        scat_out = jax.vmap(
+            lambda st, da, lo, re: _scatter_out(st, da, lo, re, plan)
+        )
+    else:
+        def rebuild(p, b):
+            return _rebuild_one(p, plan, b, ff.bond_k_per, ff.bond_r0_per,
+                                ff.pair_inert)
+
+        def scat_in(st, da):
+            return _scatter_in(st, da, plan, ff, pack)
+
+        def scat_out(st, da, lo, re):
+            return _scatter_out(st, da, lo, re, plan)
 
     def _run(state: MDState, n_steps: int):
         dtype = state.position.dtype
+        # rho(k) contribution of rows OUTSIDE the domain layout: GSPMD
+        # padding ghosts (pinned, never move — a constant per run call).
+        # The unsharded extra_obs sums over ALL state rows, so parity
+        # requires adding it back to the resident-row psum.
+        rho_ghost = None
+        if wv_np is not None and ff.ghost_typeid >= 0:
+            def ghost_rho(pos, tid):
+                wv = jnp.asarray(wv_np, dtype)
+                wg = (tid == ff.ghost_typeid).astype(dtype)
+                krg = pos @ wv.T
+                return wg @ jnp.cos(krg), wg @ jnp.sin(krg)
+
+            if batched:
+                ghost_rho = jax.vmap(ghost_rho)
+            rho_ghost = ghost_rho(state.position, state.typeid)
         obs_parts = []
         for start in range(0, n_steps, rebuild_every):
             k = min(rebuild_every, n_steps - start)
-            data = _rebuild_one(
-                state.position, plan, state.box_L,
-                ff.bond_k_per, ff.bond_r0_per, ff.pair_inert,
-            )
-            loc, dat, rep = _scatter_in(state, data, plan, ff, pack)
+            data = rebuild(state.position, state.box_L)
+            loc, dat, rep = scat_in(state, data)
             loc, rep, obs = chunk(k)(loc, rep, dat)
-            state = _scatter_out(state, data, loc, rep, plan)
-            # rebuild-time failures join the same channel as the per-step
-            # coverage invariant (driver re-plans via plan.grow_cap /
-            # nb_margin and retries the chunk)
+            state = scat_out(state, data, loc, rep)
+            # rebuild-time capacity failures join the same retry channel
+            # as the per-step coverage invariant, but are ALSO reported
+            # separately so recovery can move only the capacity lever
+            # (coverage violations need a shorter rebuild cadence instead
+            # — retries are deterministic, so growing capacity alone
+            # would re-fail identically, and vice versa)
             ovf = (data.slab_overflow | data.bucket_overflow).astype(dtype)
+            obs["domain_capacity_overflow"] = jnp.broadcast_to(
+                ovf[None] if batched else ovf, obs["cell_overflow"].shape
+            )
             obs["cell_overflow"] = jnp.maximum(obs["cell_overflow"], ovf)
+            if rho_ghost is not None:
+                # (nk,) -> (1, nk) unbatched; (R, nk) -> (1, R, nk) batched
+                obs["rho_k_re"] = obs["rho_k_re"] + rho_ghost[0][None]
+                obs["rho_k_im"] = obs["rho_k_im"] + rho_ghost[1][None]
             obs_parts.append(obs)
         if len(obs_parts) == 1:
             obs = obs_parts[0]
@@ -1088,11 +1256,12 @@ def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
     jitted = jax.jit(_run, static_argnums=(1,))
     # The returned state's leaves are committed NamedSharding(mesh, P())
     # (replicated — the rebuild consumes the full state on every shard
-    # anyway). Pre-committing the INPUT to that same sharding makes the
-    # first trace the fixed point; without it, feeding the output back
+    # anyway; batched: sharded over 'replica', each replica's rebuild is
+    # independent). Pre-committing the INPUT to that same sharding makes
+    # the first trace the fixed point; without it, feeding the output back
     # would recompile the whole chunk program once (~30 s at N=100k) on
     # the second call. device_put is a no-op when already committed.
-    rep_shard = NamedSharding(mesh, P())
+    rep_shard = NamedSharding(mesh, P("replica") if batched else P())
 
     def run(state, n_steps):
         return jitted(jax.device_put(state, rep_shard), n_steps)

@@ -206,16 +206,156 @@ def test_simulation_routes_shard_atoms_through_domain(system):
     sim_bad._build_runner()
     sim_bad.run(n_steps=12)
     assert sim_bad._domain_plan.cap >= 4  # recovery grew the plan
-    # ... and shortened the rebuild cadence: the overflow flag conflates
-    # capacity overflow with the drift-coverage invariant, and only a
-    # shorter cadence fixes the latter (retries are deterministic)
+    # ... WITHOUT touching the rebuild cadence: the runner reports
+    # capacity overflow separately from the drift-coverage invariant, so
+    # a one-time bucket overflow must not permanently tax every later
+    # step with extra rebuilds (ADVICE r4 item 1)
     from cavmd_tpu.simulation import DOMAIN_REBUILD_EVERY
 
-    assert sim_bad._domain_rebuild_every < DOMAIN_REBUILD_EVERY
+    assert sim_bad._domain_rebuild_every == DOMAIN_REBUILD_EVERY
     np.testing.assert_allclose(
         np.asarray(sim_bad.state.position), np.asarray(sim_ref.state.position),
         rtol=1e-10, atol=1e-12,
     )
+
+
+def test_domain_adaptive_fkt_matches_unsharded(system):
+    """The reference's PRODUCTION DEFAULT workflow — adaptive dt (on by
+    default, error_tolerance=0 only under --fixed-timestep,
+    05_advanced_run.py:1390-1398) with dipole + F(k,t) observables at
+    trigger period 1 (analysis.py:260-418) — must run ON the domain
+    pipeline and match the unsharded adaptive runner to f64 roundoff
+    (VERDICT r4 item 1)."""
+    from cavmd_tpu.integrate.adaptive import make_adaptive_step
+    from cavmd_tpu.observe import generate_fibonacci_sphere, make_extra_obs
+
+    snap, ff, methods, state = system
+    wv = generate_fibonacci_sphere(12) * 1.2
+    extra = make_extra_obs(dipole=True, wavevectors=wv)
+    adaptive = dict(error_tolerance=5e-6, initial_fraction=1e-3,
+                    time_constant_ps=50.0, period=2)
+
+    step = make_adaptive_step(
+        make_step_fn(ff, methods, extra_obs=extra), **adaptive
+    )
+    state = state.replace(error_tolerance=jnp.asarray(5e-9, jnp.float64))
+    ref_final, ref_obs = jax.jit(lambda s: run_steps(step, s, 12))(state)
+
+    plan = plan_domain(snap, ff, 4)
+    run = make_domain_runner(ff, methods, plan, rebuild_every=5,
+                             adaptive=adaptive, obs_spec=(True, wv))
+    final, obs = run(state, 12)
+    np.testing.assert_allclose(
+        np.asarray(final.position), np.asarray(ref_final.position),
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(final.dt), np.asarray(ref_final.dt), rtol=1e-12,
+    )
+    for k in ref_obs:  # incl. dipole, rho_k_re/im, error_tolerance, dt
+        np.testing.assert_allclose(
+            np.asarray(obs[k]), np.asarray(ref_obs[k]),
+            rtol=1e-8, atol=1e-12, err_msg=f"obs[{k}]",
+        )
+    # adaptive actually moved dt (the controller really ran)
+    assert abs(float(final.dt) - float(state.dt)) > 1e-6 * float(state.dt)
+
+
+def test_simulation_domain_gate_accepts_production_default(system):
+    """Simulation(shard_atoms=S) with adaptive dt + make_extra_obs — the
+    driver's default config — must pick the domain pipeline (no silent
+    GSPMD fallback) and reproduce the unsharded Simulation trajectory."""
+    from cavmd_tpu.observe import generate_fibonacci_sphere, make_extra_obs
+    from cavmd_tpu.simulation import Simulation
+
+    snap, ff, methods, _ = system
+    wv = generate_fibonacci_sphere(8) * 1.0
+    kw = dict(dt=PC.fs_to_atomic_units(0.25), seed=3, chunk_size=6,
+              error_tolerance=5e-6, adaptive_period=2,
+              extra_obs=make_extra_obs(dipole=True, wavevectors=wv))
+    sim_ref = Simulation(snap, ff, methods, **kw)
+    sim_ref.thermalize(PC.kT_from_kelvin(100.0))
+    sim_dom = Simulation(snap, ff, methods, shard_atoms=4, **kw)
+    assert sim_dom._domain_plan is not None  # the r4 gate is gone
+    sim_dom.thermalize(PC.kT_from_kelvin(100.0))
+
+    class Capture:
+        def __init__(self):
+            self.obs = []
+
+        def consume(self, obs):
+            self.obs.append(obs)
+
+    cap_ref, cap_dom = Capture(), Capture()
+    sim_ref.trackers.append(cap_ref)
+    sim_dom.trackers.append(cap_dom)
+    sim_ref.run(n_steps=12)
+    sim_dom.run(n_steps=12)
+    np.testing.assert_allclose(
+        np.asarray(sim_dom.state.position),
+        np.asarray(sim_ref.state.position), rtol=1e-10, atol=1e-12,
+    )
+    for k in ("dipole", "rho_k_re", "rho_k_im", "error_tolerance", "dt"):
+        ref = np.concatenate([np.asarray(o[k]) for o in cap_ref.obs])
+        dom = np.concatenate([np.asarray(o[k]) for o in cap_dom.obs])
+        np.testing.assert_allclose(dom, ref, rtol=1e-8, atol=1e-12,
+                                   err_msg=f"obs[{k}]")
+
+
+def test_domain_replicas_x_slabs(system):
+    """The reference's TWO scale-out axes composed on ONE mesh — SLURM
+    array replicas (submit.sh:4, --array=0-499) over MPI-decomposed ranks
+    (05_advanced_run.py:573) — as a 2x4 ('replica','atoms') shard_map:
+    each replica must match ITS OWN unsharded trajectory to f64 roundoff,
+    with adaptive dt + dipole/rho(k) observables running inside the
+    sharded step (VERDICT r4 item 4)."""
+    from cavmd_tpu.integrate.adaptive import make_adaptive_step
+    from cavmd_tpu.observe import generate_fibonacci_sphere, make_extra_obs
+    from cavmd_tpu.parallel import make_mesh
+    from cavmd_tpu.parallel.replicas import (
+        init_replica_states,
+        make_replica_step,
+    )
+
+    snap, ff, methods, _ = system
+    wv = generate_fibonacci_sphere(8) * 1.0
+    extra = make_extra_obs(dipole=True, wavevectors=wv)
+    adaptive = dict(error_tolerance=5e-6, initial_fraction=1e-3,
+                    time_constant_ps=50.0, period=2)
+    kT = PC.kT_from_kelvin(100.0)
+    batched = init_replica_states(
+        snap, ff, n_replicas=2, dt=PC.fs_to_atomic_units(0.5), seed=11,
+        kT=kT, error_tolerance=5e-9,
+    )
+
+    astep = make_adaptive_step(
+        make_step_fn(ff, methods, extra_obs=extra), **adaptive
+    )
+    ref_final, ref_obs = jax.jit(
+        lambda s: run_steps(make_replica_step(astep), s, 12)
+    )(batched)
+
+    plan = plan_domain(snap, ff, 4)
+    mesh = make_mesh(n_replica=2, n_atoms_shards=4)
+    run = make_domain_runner(ff, methods, plan, mesh, rebuild_every=5,
+                             adaptive=adaptive, obs_spec=(True, wv),
+                             n_replicas=2)
+    final, obs = run(batched, 12)
+    # replicas genuinely decorrelated (different thermal seeds)
+    assert not np.allclose(np.asarray(ref_final.position[0]),
+                           np.asarray(ref_final.position[1]))
+    np.testing.assert_allclose(
+        np.asarray(final.position), np.asarray(ref_final.position),
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(final.dt), np.asarray(ref_final.dt), rtol=1e-12,
+    )
+    for k in ref_obs:  # (steps, R, ...) layout on both sides
+        np.testing.assert_allclose(
+            np.asarray(obs[k]), np.asarray(ref_obs[k]),
+            rtol=1e-8, atol=1e-12, err_msg=f"obs[{k}]",
+        )
 
 
 @pytest.mark.skipif(
