@@ -28,22 +28,29 @@ runs on each shard's local rows, and the only per-step communication is
   is replicated — VERDICT r3 item 5).
 
 Residency is re-established every ``K`` steps (one "slab chunk") by a
-global rebuild OUTSIDE ``shard_map``: molecules are binned to slabs by
-their first atom, sorted into fixed-capacity per-shard blocks (fillers are
-inert ghost rows), and the per-shard bucket tables / halo index maps /
-static feature tables are regenerated. Between rebuilds the bucket
-STRUCTURE is frozen and only positions refresh — correctness is guarded by
-a per-step invariant (every binned atom within ``(width - r_cut)/2`` of
-its assigned cell box, which provably covers all pairs < r_cut including
-boundary-clamped bond partners and drift) flagged into the
+global rebuild OUTSIDE ``shard_map``: atoms bin to slabs by their TRUE
+cell (no molecule clamp — the x cell width is the plain r_cut + skin),
+sorted into fixed-capacity per-shard blocks (fillers are inert ghost
+rows), and the per-shard bucket tables / halo index maps / static feature
+tables are regenerated. Molecules whose atoms share a slab are INTACT
+(one apm-row slot; bonds/exclusions are static in-slot offsets — zero
+gathers); boundary-straddling molecules decay to SINGLES whose bond
+partners resolve through the per-shard local-id table (a partner is
+always within one bond length, hence co-resident or in the halo).
+Between rebuilds the bucket STRUCTURE is frozen and only positions
+refresh — correctness is guarded by a per-step invariant (every binned
+atom within ``(width - r_cut)/2`` of its assigned cell box, which
+provably covers all pairs < r_cut under drift) flagged into the
 ``cell_overflow`` failure channel, where the driver's existing re-plan +
 chunk-retry recovery handles it (SURVEY.md §5 failure detection).
 
-Supported configurations (the reference production workload family):
-cell-mode ForceField with a uniform cutoff, consecutive-pair (diatomic)
-bond topology, bussi/mttk/berendsen/nve baths plus langevin/brownian-free
-cavity baths on a single pinned photon. Anything else raises at build time
-and the caller falls back to the GSPMD-sharded path.
+Supported configurations (the reference production workload family and
+beyond): cell-mode ForceField with a uniform cutoff, consecutive
+homogeneous molecules of ANY size/topology (diatomics, the OCO
+triatomic, k-atom chains — tests/test_polyatomic.py), bussi/mttk/
+berendsen/nve baths plus langevin/brownian-free cavity baths on a single
+pinned photon. Anything else raises at build time and the caller falls
+back to the GSPMD-sharded path.
 
 Fidelity: trajectories match the unsharded runner to 1e-10 in f64 — the
 pair SET is identical (skin-guaranteed coverage on both paths), only
@@ -73,11 +80,7 @@ from cavmd_tpu.integrate.thermostats import (
     mttk_advance,
     mttk_rescale_factor,
 )
-from cavmd_tpu.ops.bonds import harmonic_bond_force_strided
-from cavmd_tpu.ops.ewald import (
-    ewald_exclusion_correction_strided,
-    ewald_self_energy,
-)
+from cavmd_tpu.ops.ewald import ewald_self_energy
 from cavmd_tpu.ops.neighbor import (
     CellList,
     CellListConfig,
@@ -89,7 +92,20 @@ AXIS = "atoms"  # the mesh axis slabs shard over
 
 
 class DomainPlan(NamedTuple):
-    """Static geometry of the slab decomposition (host-built)."""
+    """Static geometry of the slab decomposition (host-built).
+
+    Residency is ATOM-granular with molecule-intactness bookkeeping: a
+    molecule whose atoms all bin to the same slab is INTACT and occupies
+    one ``apm``-row slot (its bonds/exclusions are static in-slot offsets
+    — zero gathers); a molecule straddling a slab boundary contributes
+    its atoms as SINGLES, each resolving its bond partners through the
+    per-shard local-id table (resident or halo — a partner is always
+    within one bond length, hence within the neighbor's edge x-layer =
+    this shard's halo). Atoms bin by their TRUE cell, so the x cell
+    width carries no molecule-clamp excess (wx = r_cut + skin, not
+    + r_bond — VERDICT r4 item 3a), and the topology generalizes beyond
+    diatomics to consecutive homogeneous k-atom molecules (item 5).
+    """
 
     S: int  # atom shards (slabs)
     ncells: tuple  # global cell grid (cx, cy, cz), cx = S * cxl
@@ -97,12 +113,21 @@ class DomainPlan(NamedTuple):
     widths: tuple  # actual cell widths (wx, wy, wz)
     r_cut: float
     cap: int  # bucket capacity
-    nb_cap: int  # molecule slots per shard
-    Mrow: int  # resident rows per shard = 2*nb_cap + tail
+    nb_cap: int  # INTACT-molecule slots per shard (apm rows each)
+    ns_cap: int  # straddler-single atom slots per shard
+    Mrow: int  # resident rows per shard = apm*nb_cap + ns_cap + tail
     tail: int
+    apm: int  # atoms per molecule
+    nbm: int  # bonds per molecule
+    B: int  # max bonds per atom (= pair-exclusion width)
+    bond_offs: tuple  # nbm x (o0, o1) static in-molecule bond endpoints
     n_mol: int
+    n_atoms: int  # bonded-molecule rows = apm * n_mol
     n0: int  # original particle rows (incl. photon/ghosts)
     photon_row: int  # original photon index, -1 if none
+    mol_bonds: object = None  # np (n_mol, nbm) global bond id per slot
+    abond_partner: object = None  # np (n_atoms, B) partner row (n0 = none)
+    abond_bond: object = None  # np (n_atoms, B) global bond id (nb = none)
 
     @property
     def C_own(self):
@@ -122,70 +147,146 @@ class DomainPlan(NamedTuple):
 
     def grow_cap(self):
         """Overflow recovery: re-plan with a doubled bucket capacity and
-        half-again molecule slots per slab — covers both failure modes the
-        rebuild flags (shares the driver's ``_grow_cell_capacity``
-        semantics: re-plan and retry instead of aborting). The max(1, ..)
-        floor matches plan_domain's, so a degenerate n_mol can never
-        produce zero-width per-slab arrays."""
+        half-again molecule/single slots per slab — covers the capacity
+        failure modes the rebuild flags (shares the driver's
+        ``_grow_cell_capacity`` semantics: re-plan and retry instead of
+        aborting). The max(1, ..) floor matches plan_domain's, so a
+        degenerate n_mol can never produce zero-width per-slab arrays."""
         nb = max(1, min(self.nb_cap + self.nb_cap // 2 + 4, self.n_mol))
+        ns = max(1, min(2 * self.ns_cap + 8, self.n_atoms))
         return self._replace(
             cap=max(self.cap + 4, self.cap * 2),
-            nb_cap=nb, Mrow=2 * nb + self.tail,
+            nb_cap=nb, ns_cap=ns,
+            Mrow=self.apm * nb + ns + self.tail,
         )
+
+
+def _analyze_topology(snapshot, ff):
+    """Host-side molecule analysis for the domain layout.
+
+    Returns ``(apm, nbm, bond_offs, n_mol, mol_bonds, abond_partner,
+    abond_bond, B)`` for CONSECUTIVE HOMOGENEOUS molecules: the bond
+    graph's connected components must tile the first ``apm * n_mol``
+    particle rows in equal consecutive blocks with identical in-block
+    bond patterns (the reference family's molecule-major layout — HOOMD
+    GSD convention; diatomics are the apm=2 special case). Raises
+    ValueError otherwise.
+    """
+    bg = np.asarray(snapshot.bond_group)
+    nb = bg.shape[0]
+    if nb == 0:
+        raise ValueError("domain decomposition needs bonded molecules")
+    # union-find over the bonded-atom range
+    hi = int(bg.max()) + 1
+    parent = np.arange(hi)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in bg:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    root = np.array([find(a) for a in range(hi)])
+    # components must be consecutive blocks of equal size apm
+    roots, counts = np.unique(root, return_counts=True)
+    apm = int(counts[0])
+    if not np.all(counts == apm):
+        raise ValueError("domain decomposition needs homogeneous "
+                         "molecules (equal atoms per molecule)")
+    n_mol = len(roots)
+    n_atoms = apm * n_mol
+    if hi != n_atoms or not np.array_equal(
+            root, np.repeat(np.arange(0, n_atoms, apm), apm)):
+        raise ValueError("domain decomposition needs molecule-major "
+                         "consecutive atom blocks")
+    # in-molecule bond pattern, identical across molecules
+    mol_of_bond = bg[:, 0] // apm
+    if np.any(bg[:, 1] // apm != mol_of_bond):
+        raise ValueError("bond crosses molecule blocks")  # unreachable
+    offs = np.sort(bg - (mol_of_bond * apm)[:, None], axis=1)
+    order = np.lexsort((offs[:, 1], offs[:, 0], mol_of_bond))
+    offs_s = offs[order]
+    nbm = nb // n_mol
+    if nbm * n_mol != nb:
+        raise ValueError("domain decomposition needs homogeneous "
+                         "molecules (equal bonds per molecule)")
+    pat = offs_s[:nbm]
+    if not np.array_equal(
+            np.broadcast_to(pat, (n_mol, nbm, 2)).reshape(nb, 2), offs_s):
+        raise ValueError("domain decomposition needs identical bond "
+                         "topology across molecules")
+    mol_bonds = np.asarray(order.reshape(n_mol, nbm), np.int32)
+    bond_offs = tuple((int(a), int(b)) for a, b in pat)
+    # per-atom bond lists (for straddler singles + pair exclusions)
+    B = max(int(np.bincount(pat.ravel()).max()), 1)
+    abond_partner = np.full((n_atoms, B), snapshot.N, np.int32)
+    abond_bond = np.full((n_atoms, B), nb, np.int32)
+    fill = np.zeros(n_atoms, np.int64)
+    for bid, (a, b) in enumerate(bg):
+        for x, y in ((a, b), (b, a)):
+            abond_partner[x, fill[x]] = y
+            abond_bond[x, fill[x]] = bid
+            fill[x] += 1
+    return (apm, nbm, bond_offs, n_mol, mol_bonds, abond_partner,
+            abond_bond, B)
 
 
 def plan_domain(snapshot, ff: ForceField, S: int, *, skin: float = 1.0,
                 cap: int | None = None, nb_margin: float = 1.1) -> DomainPlan:
     """Plan the slab decomposition for a snapshot + cell-mode ForceField.
 
-    The x cell width is ``r_cut + skin + r_bond`` (not the usual r_cut +
-    skin): a molecule is binned by its bond MIDPOINT, so either atom can
-    sit up to half a bond length outside the slab its molecule resides
-    on — the fattened width keeps the 27-stencil coverage proof intact
-    (see the per-step invariant in ``make_domain_step``). Raises
-    ValueError for unsupported configs; the caller falls back to the
-    GSPMD path.
+    Atoms bin by their TRUE cell (no molecule-clamp excess), so every
+    cell width is the plain ``r_cut + skin``; molecule bookkeeping is
+    intactness-based (see ``DomainPlan``). Raises ValueError for
+    unsupported configs; the caller falls back to the GSPMD path.
     """
     if ff.pair_mode != "cell":
         raise ValueError("domain decomposition needs pair_mode='cell'")
-    if not ff.bonds_strided:
-        raise ValueError(
-            "domain decomposition supports consecutive-pair (diatomic) "
-            "bond topology only (molecule-granular slab migration)"
-        )
     if ff.uniform_rcut is None or not (ff.enable_lj and ff.enable_coulomb):
         raise ValueError("domain decomposition needs the uniform-cutoff "
                          "fused LJ+Ewald cell kernel")
     if ff.custom_forces:
         raise ValueError("custom forces not supported in the domain path")
+    (apm, nbm, bond_offs, n_mol, mol_bonds, abond_partner, abond_bond,
+     B) = _analyze_topology(snapshot, ff)
+    n_atoms = apm * n_mol
     box_L = np.asarray(snapshot.box_L, float)
     r_cut = float(ff.coulomb_rcut)
-    r_bond = float(np.max(np.asarray(ff.bond_r0))) * 1.25 + 0.5
     # per-axis widths: pair coverage needs excess_i + excess_j + r_cut <=
-    # width per axis, where excess = distance outside the assigned cell
-    # box. Only x suffers the molecule clamp: binning by the bond
-    # MIDPOINT bounds each atom's clamp excess at r_bond/2 (vs r_bond
-    # under first-atom binning), and BOTH pair members can be clamped,
-    # so w_x carries 2*(r_bond/2) = r_bond; y/z bin by true cells
-    # (drift-only excess).
-    wx = r_cut + skin + r_bond
-    wyz = r_cut + skin
+    # width per axis, where excess = drift since the last rebuild (the
+    # per-step invariant in make_domain_step enforces it). True-cell
+    # binning removed the r_bond clamp term from wx (VERDICT r4 item 3a):
+    # straddling molecules become singles whose bond partners are read
+    # from the halo table instead of being dragged into the slab.
+    w = r_cut + skin
 
-    cy = int(box_L[1] // wyz)
-    cz = int(box_L[2] // wyz)
-    cxl = int(box_L[0] // wx) // S
+    cy = int(box_L[1] // w)
+    cz = int(box_L[2] // w)
+    cxl = int(box_L[0] // w) // S
     cx = S * cxl
     if cxl < 1 or min(cx, cy, cz) < 3:
         raise ValueError(
-            f"box too small for {S} slabs at widths ({wx:.1f},{wyz:.1f}): "
+            f"box too small for {S} slabs at width {w:.1f}: "
             f"grid ({cx},{cy},{cz}) needs >=3 cells per axis"
+        )
+    # a straddling molecule must span at most TWO adjacent slabs (its
+    # singles resolve partners in the immediate halo only)
+    r_bond1 = float(np.max(np.asarray(ff.bond_r0))) * 1.25 + 0.5
+    r_mol = (apm - 1) * r_bond1
+    if r_mol >= cxl * (box_L[0] / cx):
+        raise ValueError(
+            f"molecule extent {r_mol:.1f} exceeds the slab width — "
+            f"box too small for {S} slabs"
         )
 
     typeid = np.asarray(snapshot.typeid)
     n0 = snapshot.N
-    n_mol = int(snapshot.n_bonds)
     # everything past the bonded rows must be pair-inert (photon / ghosts)
-    tail_rows = typeid[2 * n_mol:]
+    tail_rows = typeid[n_atoms:]
     l_typeid = ff.l_typeid
     ghost_typeid = ff.ghost_typeid
     if not np.all((tail_rows == l_typeid) | (tail_rows == ghost_typeid)):
@@ -207,20 +308,32 @@ def plan_domain(snapshot, ff: ForceField, S: int, *, skin: float = 1.0,
     # ~13% filler to every per-row op.
     nb_cap = int(np.ceil(mean_mol * nb_margin + 6.0 * np.sqrt(mean_mol) + 8))
     nb_cap = max(1, min(nb_cap, n_mol))
+    # straddler-single slots: a molecule straddles a boundary when the
+    # boundary falls inside its x-extent — mean extent is well under
+    # r_mol (orientation average ~r_mol/2), so r_mol as the band width
+    # is already a ~2x overestimate (measured: 31/slab actual vs 55
+    # formula at the 550-molecule test scene); margined like nb_cap and
+    # recovered by grow_cap + retry on overflow
+    mean_strad = apm * n_mol * max(r_mol, 1.0) / box_L[0]
+    ns_cap = int(np.ceil(mean_strad * 1.5 + 6.0 * np.sqrt(mean_strad) + 16))
+    ns_cap = max(1, min(ns_cap, n_atoms))
     # tail slots per shard: fillers; the photon is pinned at the LAST row
     # of the LAST shard (pair-inert, so its slab is irrelevant and its
     # local index is static — the langevin cavity bath needs that)
     tail = 8
-    Mrow = 2 * nb_cap + tail
+    Mrow = apm * nb_cap + ns_cap + tail
     if cap is None:
         vol_cell = float(np.prod(box_L)) / (cx * cy * cz)
-        rho = (2 * n_mol) / float(np.prod(box_L))
+        rho = n_atoms / float(np.prod(box_L))
         cap = int(np.ceil(rho * vol_cell * 1.8)) + 8
     return DomainPlan(
         S=S, ncells=(cx, cy, cz), cxl=cxl,
         widths=tuple(float(b / c) for b, c in zip(box_L, (cx, cy, cz))),
-        r_cut=r_cut, cap=cap, nb_cap=nb_cap, Mrow=Mrow, tail=tail,
-        n_mol=n_mol, n0=n0, photon_row=photon_row,
+        r_cut=r_cut, cap=cap, nb_cap=nb_cap, ns_cap=ns_cap, Mrow=Mrow,
+        tail=tail, apm=apm, nbm=nbm, B=B, bond_offs=bond_offs,
+        n_mol=n_mol, n_atoms=n_atoms, n0=n0, photon_row=photon_row,
+        mol_bonds=mol_bonds, abond_partner=abond_partner,
+        abond_bond=abond_bond,
     )
 
 
@@ -264,17 +377,41 @@ class DomainData(NamedTuple):
     centers: jnp.ndarray  # (S*Mrow, 3) assigned cell centers
     binned: jnp.ndarray  # (S*Mrow,) bool — row participates in the tiles
     valid: jnp.ndarray  # (S*Mrow,) bool — row holds a real particle
-    bond_k: jnp.ndarray  # (S, nb_cap)
-    bond_r0: jnp.ndarray  # (S, nb_cap)
+    bond_k: jnp.ndarray  # (S, nb_cap, nbm) intact-slot bond parameters
+    bond_r0: jnp.ndarray  # (S, nb_cap, nbm)
+    sing_partner: jnp.ndarray  # (S, ns_cap, B) LOCAL partner ids (Mtot=none)
+    sing_k: jnp.ndarray  # (S, ns_cap, B) straddler bond parameters
+    sing_r0: jnp.ndarray  # (S, ns_cap, B)
+    sing_qq: jnp.ndarray  # (S, ns_cap, B) q_self * q_partner products
+    excl: jnp.ndarray  # (S*Mrow, B) LOCAL pair-exclusion ids (Mtot = none)
     send_first: jnp.ndarray  # (S, H) local ids of the FIRST own x-layer
     send_last: jnp.ndarray  # (S, H) local ids of the LAST own x-layer
     halo_src: jnp.ndarray  # (S, 2, H) ORIGINAL rows of [left, right] halos
-    slab_overflow: jnp.ndarray  # () bool — a slab exceeded nb_cap molecules
+    slab_overflow: jnp.ndarray  # () bool — a slab exceeded nb/ns_cap slots
     bucket_overflow: jnp.ndarray  # () bool — a cell bucket exceeded cap
 
 
+def _rank_in_group(key, n_groups):
+    """Stable sort by ``key`` + rank within each key group.
+
+    Returns (order, sorted_key, rank) — entries with key >= n_groups are
+    dump rows whose rank is meaningless.
+    """
+    n = key.shape[0]
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    sorted_k = key[order]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_k[1:] != sorted_k[:-1]]
+    )
+    first = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, iota, 0)
+    )
+    return order, sorted_k, iota - first
+
+
 def _rebuild_one(position, plan: DomainPlan, box_L,
-                 bond_k_per, bond_r0_per, pair_inert):
+                 bond_k_per, bond_r0_per, pair_inert, charge):
     """Compute the domain layout for ONE replica (global ops, jit-safe).
 
     Returns a DomainData. Static per-row tables (pair features, Pallas
@@ -284,62 +421,62 @@ def _rebuild_one(position, plan: DomainPlan, box_L,
 
     S, (cx, cy, cz) = plan.S, plan.ncells
     cxl, cap, nb_cap, Mrow = plan.cxl, plan.cap, plan.nb_cap, plan.Mrow
-    n0, n_mol = plan.n0, plan.n_mol
+    ns_cap, apm, nbm, B = plan.ns_cap, plan.apm, plan.nbm, plan.B
+    n0, n_mol, n_atoms = plan.n0, plan.n_mol, plan.n_atoms
     C_ext, H, Mtot = plan.C_ext, plan.H, plan.Mtot
+    nb_tot = n_mol * nbm
     dtype = position.dtype
     box = jnp.asarray(box_L, dtype)
     ncells = jnp.asarray([cx, cy, cz], jnp.int32)
 
-    # ---- per-atom global cells ----
+    # ---- per-atom global cells (TRUE cells — no molecule clamp) ----
     frac = position / box + 0.5
     cell3 = jnp.clip(
         jnp.floor(frac * ncells.astype(dtype)).astype(jnp.int32),
         0, ncells - 1,
     )
+    slab_at = cell3[:n_atoms, 0] // cxl  # (n_atoms,)
 
-    # ---- molecules -> slabs (by bond midpoint), sorted into slots ----
-    # midpoint binning halves the per-atom clamp excess vs first-atom
-    # binning (plan_domain's wx carries r_bond instead of 2*r_bond —
-    # ~15% thinner x cells, directly cutting the tile kernel's lane
-    # window). The midpoint is taken through the bond's minimum image
-    # (straddling atoms wrap-average to mid-box otherwise), then wrapped.
-    x0 = position[0:2 * n_mol:2, 0]
-    dxb = position[1:2 * n_mol:2, 0] - x0
-    Lx = box[0]
-    dxb = dxb - Lx * jnp.round(dxb / Lx)
-    xc = x0 + 0.5 * dxb
-    xc = xc - Lx * jnp.floor(xc / Lx + 0.5)  # wrap to [-Lx/2, Lx/2)
-    cellx_c = jnp.clip(
-        jnp.floor((xc / Lx + 0.5) * ncells[0].astype(dtype)).astype(
-            jnp.int32),
-        0, ncells[0] - 1,
-    )
-    mol_slab = cellx_c // cxl  # (n_mol,)
-    order = jnp.argsort(mol_slab, stable=True).astype(jnp.int32)
-    sorted_slab = mol_slab[order]
-    iota = jnp.arange(n_mol, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sorted_slab[1:] != sorted_slab[:-1]]
-    )
-    first = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, iota, 0)
-    )
-    rank = iota - first
-    slab_overflow = jnp.any(rank >= nb_cap)
-    rank_c = jnp.minimum(rank, nb_cap - 1)
+    # ---- molecule intactness: all atoms on one slab -> an apm-row
+    # slot (static in-slot bonds/exclusions); else its atoms become
+    # straddler SINGLES (partners via the local-id table) ----
+    mslab = slab_at.reshape(n_mol, apm)
+    mol_slab = mslab[:, 0]
+    intact = jnp.all(mslab == mol_slab[:, None], axis=1)  # (n_mol,)
+
+    key_m = jnp.where(intact, mol_slab, S)
+    order_m, sorted_m, rank_m = _rank_in_group(key_m, S)
+    over_m = jnp.any((rank_m >= nb_cap) & (sorted_m < S))
     mol_perm = jnp.full((S * nb_cap,), n_mol, jnp.int32)
-    mol_perm = mol_perm.at[sorted_slab * nb_cap + rank_c].set(order)
+    mol_perm = mol_perm.at[
+        sorted_m * nb_cap + jnp.minimum(rank_m, nb_cap - 1)
+    ].set(order_m, mode="drop")
+
+    single = jnp.repeat(~intact, apm)  # (n_atoms,)
+    key_a = jnp.where(single, slab_at, S)
+    order_a, sorted_a, rank_a = _rank_in_group(key_a, S)
+    over_s = jnp.any((rank_a >= ns_cap) & (sorted_a < S))
+    sing_perm = jnp.full((S * ns_cap,), n0, jnp.int32)
+    sing_perm = sing_perm.at[
+        sorted_a * ns_cap + jnp.minimum(rank_a, ns_cap - 1)
+    ].set(order_a, mode="drop")
+    slab_overflow = over_m | over_s
 
     # ---- row permutation: domain slot -> original row ----
     d = jnp.arange(S * Mrow, dtype=jnp.int32)
     s_of = d // Mrow
     r_of = d % Mrow
-    bonded = r_of < 2 * nb_cap
-    mslot = s_of * nb_cap + jnp.minimum(r_of, 2 * nb_cap - 1) // 2
+    in_mol = r_of < apm * nb_cap
+    mslot = s_of * nb_cap + jnp.minimum(r_of, apm * nb_cap - 1) // apm
     matom = jnp.where(
-        mol_perm[mslot] < n_mol, 2 * mol_perm[mslot] + (r_of & 1), n0
+        mol_perm[mslot] < n_mol,
+        apm * mol_perm[mslot] + r_of % apm, n0,
     )
-    perm = jnp.where(bonded, matom, n0)
+    in_sing = (~in_mol) & (r_of < apm * nb_cap + ns_cap)
+    satom = sing_perm[
+        s_of * ns_cap + jnp.clip(r_of - apm * nb_cap, 0, ns_cap - 1)
+    ]
+    perm = jnp.where(in_mol, matom, jnp.where(in_sing, satom, n0))
     if plan.photon_row >= 0:
         perm = perm.at[S * Mrow - 1].set(plan.photon_row)
     # inverse map: original row -> domain slot (filler writes target index
@@ -422,18 +559,71 @@ def _rebuild_one(position, plan: DomainPlan, box_L,
     ).astype(dtype)
     centers = ((g3 + 0.5) / ncells.astype(dtype) - 0.5) * box
 
-    # ---- per-shard bond parameters ----
+    # ---- per-shard global->local id map (residents + halos) ----
+    # halos first, residents LAST (a co-resident partner beats its halo
+    # copy; at S<=2 both sides of the ring are the same neighbor). The
+    # (n0+2)-wide table keeps column n0 a clean sentinel (reads map to
+    # Mtot = "no local id"): sentinel-valued sources write to the n0+1
+    # dump column instead.
+    g2l = jnp.full((S, n0 + 2), Mtot, jnp.int32)
+    s_ids = jnp.arange(S, dtype=jnp.int32)[:, None, None]
+    hid = (Mrow + jnp.arange(2 * H, dtype=jnp.int32)).reshape(1, 2, H)
+    hsrc_w = jnp.where(halo_src < n0, halo_src, n0 + 1)
+    g2l = g2l.at[jnp.broadcast_to(s_ids, halo_src.shape), hsrc_w].set(
+        jnp.broadcast_to(hid, halo_src.shape)
+    )
+    perm_w = jnp.where(perm < n0, perm, n0 + 1)
+    g2l = g2l.at[s_of, perm_w].set(r_of)
+
+    # ---- intact-slot bond parameters (static in-slot topology) ----
     msel = jnp.minimum(mol_perm, n_mol - 1) if n_mol else mol_perm
-    mvalid = (mol_perm < n_mol).astype(dtype)
-    bond_k = (bond_k_per[msel] * mvalid).reshape(S, nb_cap)
+    mvalid = mol_perm < n_mol
+    mb = jnp.asarray(plan.mol_bonds, jnp.int32)[msel]  # (S*nb_cap, nbm)
+    bond_k = jnp.where(
+        mvalid[:, None], bond_k_per[mb], jnp.zeros((), dtype)
+    ).reshape(S, nb_cap, nbm)
     bond_r0 = jnp.where(
-        mol_perm < n_mol, bond_r0_per[msel], jnp.ones((), dtype)
-    ).reshape(S, nb_cap)
+        mvalid[:, None], bond_r0_per[mb], jnp.ones((), dtype)
+    ).reshape(S, nb_cap, nbm)
+
+    # ---- straddler-single bond tables (partners via g2l: resident or
+    # halo — a bond partner is always within one bond length, hence
+    # within the neighbor's edge x-layer when not co-resident) ----
+    ab_p = jnp.asarray(plan.abond_partner, jnp.int32)  # (n_atoms, B)
+    ab_b = jnp.asarray(plan.abond_bond, jnp.int32)
+    sv = sing_perm < n0
+    sa = jnp.minimum(sing_perm, n_atoms - 1)
+    pgl = jnp.where(sv[:, None], ab_p[sa], n0)  # (S*ns_cap, B) global
+    bid = ab_b[sa]  # (S*ns_cap, B) bond ids (nb_tot = none)
+    s_of_s = jnp.arange(S * ns_cap, dtype=jnp.int32)[:, None] // ns_cap
+    sing_partner = g2l[s_of_s, jnp.where(pgl < n0, pgl, n0)]
+    k_ext = jnp.concatenate([bond_k_per, jnp.zeros((1,), dtype)])
+    r0_ext = jnp.concatenate([bond_r0_per, jnp.ones((1,), dtype)])
+    bid_c = jnp.minimum(bid, nb_tot)
+    sing_k = jnp.where(pgl < n0, k_ext[bid_c], jnp.zeros((), dtype))
+    sing_r0 = r0_ext[bid_c]
+    q_ext = jnp.concatenate([charge, jnp.zeros((1,), dtype)])
+    sing_qq = (
+        q_ext[jnp.minimum(sing_perm, n0)][:, None]
+        * q_ext[jnp.minimum(pgl, n0)]
+    )
+
+    # ---- pair-exclusion local ids for EVERY resident row (intact rows
+    # resolve to co-resident ids, straddlers to resident-or-halo ids) ----
+    is_at = perm < n_atoms
+    aperm = jnp.minimum(perm, n_atoms - 1)
+    ex_pgl = jnp.where(is_at[:, None], ab_p[aperm], n0)  # (S*Mrow, B)
+    excl = g2l[s_of[:, None], jnp.where(ex_pgl < n0, ex_pgl, n0)]
 
     return DomainData(
         perm=perm, inv_slot=inv_slot, buckets=buckets, slot_of=slot_of,
         centers=centers, binned=binned, valid=(perm < n0),
         bond_k=bond_k, bond_r0=bond_r0,
+        sing_partner=sing_partner.reshape(S, ns_cap, B),
+        sing_k=sing_k.reshape(S, ns_cap, B),
+        sing_r0=sing_r0.reshape(S, ns_cap, B),
+        sing_qq=sing_qq.reshape(S, ns_cap, B),
+        excl=excl,
         send_first=send_first, send_last=send_last, halo_src=halo_src,
         slab_overflow=slab_overflow, bucket_overflow=bucket_overflow,
     )
@@ -476,8 +666,13 @@ class ShardData(NamedTuple):
     centers: jnp.ndarray  # (S*Mrow, 3)
     binned: jnp.ndarray  # (S*Mrow,)
     valid: jnp.ndarray  # (S*Mrow,)
-    bond_k: jnp.ndarray  # (S*nb_cap,)
-    bond_r0: jnp.ndarray  # (S*nb_cap,)
+    bond_k: jnp.ndarray  # (S*nb_cap, nbm) intact-slot bond parameters
+    bond_r0: jnp.ndarray  # (S*nb_cap, nbm)
+    sing_partner: jnp.ndarray  # (S*ns_cap, B) LOCAL partner ids
+    sing_k: jnp.ndarray  # (S*ns_cap, B)
+    sing_r0: jnp.ndarray  # (S*ns_cap, B)
+    sing_qq: jnp.ndarray  # (S*ns_cap, B)
+    excl: jnp.ndarray  # (S*(Mtot+1), B) LOCAL pair-exclusion ids
     send_first: jnp.ndarray  # (S*H,)
     send_last: jnp.ndarray  # (S*H,)
     feat: jnp.ndarray  # (S*(Mtot+1), F) pair features incl. sentinel row
@@ -546,23 +741,18 @@ def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
     computed with zero extra collectives).
     """
     from cavmd_tpu.core.units import PhysicalConstants
+    from cavmd_tpu.ops.ewald import _excl_pair_terms
     from cavmd_tpu.ops.neighbor import cell_pair_force
 
     _validate_methods(methods)
     S, Mrow, H, Mtot = plan.S, plan.Mrow, plan.H, plan.Mtot
-    nb_cap = plan.nb_cap
+    nb_cap, ns_cap, apm = plan.nb_cap, plan.ns_cap, plan.apm
     l_typeid, ghost_typeid = ff.l_typeid, ff.ghost_typeid
     cfg = CellListConfig(
         ncells=(plan.cxl + 2, plan.ncells[1], plan.ncells[2]),
         cap=plan.cap, r_cut=plan.r_cut, skin=0.0,
     )
     ext_nb = jnp.asarray(_ext_neighbor_table(plan), jnp.int32)
-    # static local exclusion table: resident r's bond partner is r^1
-    # (molecules stay whole per shard); halo/tail rows exclude nothing
-    excl_np = np.full((Mtot + 1, 1), Mtot, np.int32)
-    rr = np.arange(2 * nb_cap)
-    excl_np[rr, 0] = rr ^ 1
-    excl_tab = jnp.asarray(excl_np)
     kern = make_fused_cell_kernel(
         ff.lj_eps, ff.lj_sigma, ff.lj_rcut, ff.kappa, ff.n_types,
         uniform_rcut=ff.uniform_rcut,
@@ -573,7 +763,7 @@ def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
                          "cutoff with LJ+Coulomb enabled)")
     # resident mean occupancy for the slab cols kernel's static s1/cap1
     # splits (the local row count would overcount filler rows)
-    mean_occ_plan = (2.0 * plan.n_mol / plan.S) / max(
+    mean_occ_plan = (plan.n_atoms / plan.S) / max(
         plan.cxl * plan.ncells[1] * plan.ncells[2], 1
     )
     mesh_k = tuple(ff.pppm_mesh)
@@ -729,18 +919,77 @@ def make_domain_step(ff: ForceField, methods, plan: DomainPlan, *,
         else:
             f_tab, (e_lj, e_ew) = cell_pair_force(
                 pos_tab, box, clist, cfg, kern,
-                features=dat.feat, exclusions=excl_tab,
+                features=dat.feat, exclusions=dat.excl,
                 cell_block=cell_block,
             )
         forces = f_tab[:Mrow].astype(dtype)
 
-        # ---- bonds + Ewald corrections (shard-local strided rows) ----
-        f_b, e_bond = harmonic_bond_force_strided(
-            pos, box, nb_cap, dat.bond_k, dat.bond_r0
+        # ---- bonds + Ewald exclusion corrections ----
+        # intact molecule slots: static in-slot offsets (zero gathers —
+        # the strided diatomic trick generalized to apm-row slots);
+        # filler slots carry k = q = 0 and share one template position
+        # (r = 0 guards in _excl_pair_terms / safe_r below)
+        nmr = apm * nb_cap
+        pmol = pos[:nmr].reshape(nb_cap, apm, 3)
+        qmol = loc.charge[:nmr].reshape(nb_cap, apm)
+        f_mol = jnp.zeros_like(pmol)
+        fc_mol = jnp.zeros_like(pmol)
+        e_bond = jnp.zeros((), dtype)
+        e_corr = jnp.zeros((), dtype)
+        for b, (o0, o1) in enumerate(plan.bond_offs):
+            drb = minimum_image(pmol[:, o1] - pmol[:, o0], box)
+            r = jnp.sqrt(jnp.sum(drb * drb, axis=1))
+            kb = dat.bond_k[:, b]
+            rb = dat.bond_r0[:, b]
+            safe_r = jnp.where(r > 0, r, jnp.ones((), dtype))
+            fj = ((-kb * (r - rb) / safe_r)[:, None]) * drb
+            f_mol = f_mol.at[:, o1].add(fj)
+            f_mol = f_mol.at[:, o0].add(-fj)
+            e_bond = e_bond + jnp.sum(0.5 * kb * (r - rb) ** 2)
+            fi, ec = _excl_pair_terms(
+                -drb, qmol[:, o0] * qmol[:, o1], ff.kappa, dtype
+            )
+            fc_mol = fc_mol.at[:, o0].add(fi)
+            fc_mol = fc_mol.at[:, o1].add(-fi)
+            e_corr = e_corr + ec
+
+        # straddler singles: each endpoint computes its own bond force
+        # from the halo'd position table (partner = resident or halo
+        # local id); energies carry weight 1/2 since BOTH endpoints
+        # compute the same bond (on their own shards) every step
+        if ns_cap > 0:
+            psing = pos[nmr:nmr + ns_cap]  # (ns_cap, 3)
+            pid = dat.sing_partner  # (ns_cap, B)
+            alive = pid < Mtot
+            ppart = pos_tab[jnp.minimum(pid, Mtot - 1)]  # (ns_cap, B, 3)
+            drs = minimum_image(ppart - psing[:, None, :], box)
+            rs = jnp.sqrt(jnp.sum(drs * drs, axis=-1))
+            ks = jnp.where(alive, dat.sing_k, jnp.zeros((), dtype))
+            safe_rs = jnp.where(rs > 0, rs, jnp.ones((), dtype))
+            fjs = ((-ks * (rs - dat.sing_r0) / safe_rs)[..., None]) * drs
+            f_sing = -jnp.sum(fjs, axis=1)  # force ON the single
+            e_bond = e_bond + 0.5 * jnp.sum(
+                0.5 * ks * (rs - dat.sing_r0) ** 2
+            )
+            qqs = jnp.where(alive, dat.sing_qq, jnp.zeros((), dtype))
+            fis, ecs = _excl_pair_terms(
+                (-drs).reshape(ns_cap * pid.shape[1], 3),
+                qqs.reshape(-1), ff.kappa, dtype,
+            )
+            fc_sing = jnp.sum(
+                fis.reshape(ns_cap, pid.shape[1], 3), axis=1
+            )
+            e_corr = e_corr + 0.5 * ecs
+        else:
+            f_sing = jnp.zeros((0, 3), dtype)
+            fc_sing = jnp.zeros((0, 3), dtype)
+
+        tail_z = jnp.zeros((Mrow - nmr - ns_cap, 3), dtype)
+        forces = forces + jnp.concatenate(
+            [f_mol.reshape(nmr, 3), f_sing, tail_z]
         )
-        forces = forces + f_b
-        f_corr, e_corr = ewald_exclusion_correction_strided(
-            pos, box, loc.charge, ff.kappa, nb_cap
+        f_corr = jnp.concatenate(
+            [fc_mol.reshape(nmr, 3), fc_sing, tail_z]
         )
         e_self_loc = ewald_self_energy(loc.charge, ff.kappa)
 
@@ -984,6 +1233,15 @@ def _scatter_in(state: MDState, data: DomainData, plan: DomainPlan,
          jnp.full((S, 2 * H), plan.C_ext * plan.cap, jnp.int32)], axis=1
     ).reshape(S * Mtot)
 
+    # local pair-exclusion ids per shard: residents from the rebuild
+    # (co-resident or halo partner ids), halo/sentinel rows exclude
+    # nothing (halo rows are never i-rows)
+    B = plan.B
+    excl_sh = jnp.concatenate(
+        [data.excl.reshape(S, Mrow, B),
+         jnp.full((S, 2 * H + 1, B), plan.Mtot, jnp.int32)], axis=1
+    )  # (S, Mtot+1, B)
+
     pack_rows = None
     if pack is not None:
         src = pack.static_rows  # (n0+1, R-3) f32
@@ -998,10 +1256,12 @@ def _scatter_in(state: MDState, data: DomainData, plan: DomainPlan,
         lid = jnp.arange(Mtot + 1, dtype=src.dtype)
         rows = rows.at[:, :, 1].set(lid[None, :])
         ex0 = 2 + pack.n_types_active
-        exc = jnp.full((Mtot + 1, pack.max_excl), float(Mtot), src.dtype)
-        rrl = jnp.arange(2 * plan.nb_cap)
-        exc = exc.at[rrl, 0].set((rrl ^ 1).astype(src.dtype))
-        rows = rows.at[:, :, ex0:ex0 + pack.max_excl].set(exc[None])
+        exc = jnp.full((S, Mtot + 1, pack.max_excl), float(Mtot), src.dtype)
+        ncopy = min(B, pack.max_excl)
+        exc = exc.at[:, :, :ncopy].set(
+            excl_sh[:, :, :ncopy].astype(src.dtype)
+        )
+        rows = rows.at[:, :, ex0:ex0 + pack.max_excl].set(exc)
         pack_rows = rows.reshape(S * (Mtot + 1), R3)
 
     dat = ShardData(
@@ -1010,8 +1270,13 @@ def _scatter_in(state: MDState, data: DomainData, plan: DomainPlan,
         centers=data.centers,
         binned=data.binned,
         valid=data.valid,
-        bond_k=data.bond_k.reshape(S * plan.nb_cap),
-        bond_r0=data.bond_r0.reshape(S * plan.nb_cap),
+        bond_k=data.bond_k.reshape(S * plan.nb_cap, plan.nbm),
+        bond_r0=data.bond_r0.reshape(S * plan.nb_cap, plan.nbm),
+        sing_partner=data.sing_partner.reshape(S * plan.ns_cap, B),
+        sing_k=data.sing_k.reshape(S * plan.ns_cap, B),
+        sing_r0=data.sing_r0.reshape(S * plan.ns_cap, B),
+        sing_qq=data.sing_qq.reshape(S * plan.ns_cap, B),
+        excl=excl_sh.reshape(S * (Mtot + 1), B),
         send_first=data.send_first.reshape(S * H),
         send_last=data.send_last.reshape(S * H),
         feat=feat,
@@ -1186,8 +1451,8 @@ def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
 
     if batched:
         rebuild = jax.vmap(
-            lambda p, b: _rebuild_one(p, plan, b, ff.bond_k_per,
-                                      ff.bond_r0_per, ff.pair_inert)
+            lambda p, b, q: _rebuild_one(p, plan, b, ff.bond_k_per,
+                                         ff.bond_r0_per, ff.pair_inert, q)
         )
         scat_in = jax.vmap(lambda st, da: _scatter_in(st, da, plan, ff,
                                                       pack))
@@ -1195,9 +1460,9 @@ def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
             lambda st, da, lo, re: _scatter_out(st, da, lo, re, plan)
         )
     else:
-        def rebuild(p, b):
+        def rebuild(p, b, q):
             return _rebuild_one(p, plan, b, ff.bond_k_per, ff.bond_r0_per,
-                                ff.pair_inert)
+                                ff.pair_inert, q)
 
         def scat_in(st, da):
             return _scatter_in(st, da, plan, ff, pack)
@@ -1225,7 +1490,7 @@ def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
         obs_parts = []
         for start in range(0, n_steps, rebuild_every):
             k = min(rebuild_every, n_steps - start)
-            data = rebuild(state.position, state.box_L)
+            data = rebuild(state.position, state.box_L, state.charge)
             loc, dat, rep = scat_in(state, data)
             loc, rep, obs = chunk(k)(loc, rep, dat)
             state = scat_out(state, data, loc, rep)

@@ -75,7 +75,7 @@ def test_rebuild_layout_invariants(system):
     plan = plan_domain(snap, ff, 4)
     data = jax.jit(
         lambda p: _rebuild_one(p, plan, snap.box_L, ff.bond_k_per,
-                               ff.bond_r0_per, ff.pair_inert)
+                               ff.bond_r0_per, ff.pair_inert, state.charge)
     )(state.position)
     perm = np.asarray(data.perm)
     n0 = plan.n0
