@@ -128,6 +128,9 @@ class DomainPlan(NamedTuple):
     mol_bonds: object = None  # np (n_mol, nbm) global bond id per slot
     abond_partner: object = None  # np (n_atoms, B) partner row (n0 = none)
     abond_bond: object = None  # np (n_atoms, B) global bond id (nb = none)
+    excl_offs: object = None  # np (apm, B) in-molecule partner offset (-1
+    # = none) — identical across molecules (asserted by _analyze_topology),
+    # so intact-row exclusions are slot arithmetic, not table gathers
 
     @property
     def C_own(self):
@@ -231,11 +234,16 @@ def _analyze_topology(snapshot, ff):
             abond_partner[x, fill[x]] = y
             abond_bond[x, fill[x]] = bid
             fill[x] += 1
+    # static in-molecule exclusion offsets: the partner pattern of atom j
+    # within ANY molecule (homogeneity asserted above), -1 = no partner —
+    # lets intact-slot rows derive exclusion LOCAL ids by pure arithmetic
+    excl_offs = np.where(abond_partner[:apm] < apm,
+                         abond_partner[:apm], -1).astype(np.int32)
     return (apm, nbm, bond_offs, n_mol, mol_bonds, abond_partner,
-            abond_bond, B)
+            abond_bond, B, excl_offs)
 
 
-def plan_domain(snapshot, ff: ForceField, S: int, *, skin: float = 1.0,
+def plan_domain(snapshot, ff: ForceField, S: int, *, skin: float = 0.5,
                 cap: int | None = None, nb_margin: float = 1.1) -> DomainPlan:
     """Plan the slab decomposition for a snapshot + cell-mode ForceField.
 
@@ -252,7 +260,7 @@ def plan_domain(snapshot, ff: ForceField, S: int, *, skin: float = 1.0,
     if ff.custom_forces:
         raise ValueError("custom forces not supported in the domain path")
     (apm, nbm, bond_offs, n_mol, mol_bonds, abond_partner, abond_bond,
-     B) = _analyze_topology(snapshot, ff)
+     B, excl_offs) = _analyze_topology(snapshot, ff)
     n_atoms = apm * n_mol
     box_L = np.asarray(snapshot.box_L, float)
     r_cut = float(ff.coulomb_rcut)
@@ -262,6 +270,14 @@ def plan_domain(snapshot, ff: ForceField, S: int, *, skin: float = 1.0,
     # binning removed the r_bond clamp term from wx (VERDICT r4 item 3a):
     # straddling molecules become singles whose bond partners are read
     # from the halo table instead of being dragged into the slab.
+    # skin=0.5 matches the unsharded plan_cells default (ForceField
+    # cell_skin): the actual per-axis drift margin is the realized
+    # (width - r_cut)/2 AFTER the integer cell snap (0.34 at the N=100k
+    # workload), enforced per step by the coverage invariant. The former
+    # 1.0 default cost a full extra bucket-capacity octave (cap 52 vs 45
+    # at N=100k -> ~13% more tile lanes) for margin the rebuild cadence
+    # never consumes (thermal drift is ~0.003 A/step at the reference
+    # workload's 100 K / 0.25 fs).
     w = r_cut + skin
 
     cy = int(box_L[1] // w)
@@ -333,7 +349,7 @@ def plan_domain(snapshot, ff: ForceField, S: int, *, skin: float = 1.0,
         tail=tail, apm=apm, nbm=nbm, B=B, bond_offs=bond_offs,
         n_mol=n_mol, n_atoms=n_atoms, n0=n0, photon_row=photon_row,
         mol_bonds=mol_bonds, abond_partner=abond_partner,
-        abond_bond=abond_bond,
+        abond_bond=abond_bond, excl_offs=excl_offs,
     )
 
 
@@ -559,21 +575,35 @@ def _rebuild_one(position, plan: DomainPlan, box_L,
     ).astype(dtype)
     centers = ((g3 + 0.5) / ncells.astype(dtype) - 0.5) * box
 
-    # ---- per-shard global->local id map (residents + halos) ----
-    # halos first, residents LAST (a co-resident partner beats its halo
-    # copy; at S<=2 both sides of the ring are the same neighbor). The
-    # (n0+2)-wide table keeps column n0 a clean sentinel (reads map to
-    # Mtot = "no local id"): sentinel-valued sources write to the n0+1
-    # dump column instead.
-    g2l = jnp.full((S, n0 + 2), Mtot, jnp.int32)
+    # ---- per-shard global->local id resolution ----
+    # Residents resolve ARITHMETICALLY through ``inv_slot`` (their domain
+    # slot modulo the shard stride); only HALO copies need a scatter-built
+    # reverse table — 2*H entries per shard vs the full resident relayout
+    # a complete global->local table would cost (a measured ~1 ms 100k-row
+    # scatter per rebuild; TPU serializes scatter rows). A co-resident
+    # partner beats its halo copy by construction: residents are checked
+    # first. The (n0+2)-wide table keeps column n0 a clean sentinel:
+    # sentinel-valued sources write to the n0+1 dump column instead.
+    h2l = jnp.full((S, n0 + 2), Mtot, jnp.int32)
     s_ids = jnp.arange(S, dtype=jnp.int32)[:, None, None]
     hid = (Mrow + jnp.arange(2 * H, dtype=jnp.int32)).reshape(1, 2, H)
     hsrc_w = jnp.where(halo_src < n0, halo_src, n0 + 1)
-    g2l = g2l.at[jnp.broadcast_to(s_ids, halo_src.shape), hsrc_w].set(
+    h2l = h2l.at[jnp.broadcast_to(s_ids, halo_src.shape), hsrc_w].set(
         jnp.broadcast_to(hid, halo_src.shape)
     )
-    perm_w = jnp.where(perm < n0, perm, n0 + 1)
-    g2l = g2l.at[s_of, perm_w].set(r_of)
+
+    def resolve_local(shard, g):
+        """LOCAL id of global row ``g`` on ``shard`` (resident-or-halo,
+        Mtot = absent). Valid for real ATOM rows only: every atom holds a
+        slot when no overflow is flagged (overflow chunks are retried), so
+        ``inv_slot`` needs no back-check; a row resident on another shard
+        lands outside [0, Mrow) by the slot arithmetic and falls through
+        to the halo table."""
+        loc_res = inv_slot[jnp.minimum(g, n0 - 1)] - shard * Mrow
+        is_res = (loc_res >= 0) & (loc_res < Mrow)
+        out = jnp.where(is_res, loc_res, h2l[shard, jnp.where(
+            g < n0, g, n0 + 1)])
+        return jnp.where(g < n0, out, Mtot)
 
     # ---- intact-slot bond parameters (static in-slot topology) ----
     msel = jnp.minimum(mol_perm, n_mol - 1) if n_mol else mol_perm
@@ -586,7 +616,7 @@ def _rebuild_one(position, plan: DomainPlan, box_L,
         mvalid[:, None], bond_r0_per[mb], jnp.ones((), dtype)
     ).reshape(S, nb_cap, nbm)
 
-    # ---- straddler-single bond tables (partners via g2l: resident or
+    # ---- straddler-single bond tables (partners resolved resident-or-
     # halo — a bond partner is always within one bond length, hence
     # within the neighbor's edge x-layer when not co-resident) ----
     ab_p = jnp.asarray(plan.abond_partner, jnp.int32)  # (n_atoms, B)
@@ -596,7 +626,7 @@ def _rebuild_one(position, plan: DomainPlan, box_L,
     pgl = jnp.where(sv[:, None], ab_p[sa], n0)  # (S*ns_cap, B) global
     bid = ab_b[sa]  # (S*ns_cap, B) bond ids (nb_tot = none)
     s_of_s = jnp.arange(S * ns_cap, dtype=jnp.int32)[:, None] // ns_cap
-    sing_partner = g2l[s_of_s, jnp.where(pgl < n0, pgl, n0)]
+    sing_partner = resolve_local(s_of_s, pgl)
     k_ext = jnp.concatenate([bond_k_per, jnp.zeros((1,), dtype)])
     r0_ext = jnp.concatenate([bond_r0_per, jnp.ones((1,), dtype)])
     bid_c = jnp.minimum(bid, nb_tot)
@@ -608,12 +638,28 @@ def _rebuild_one(position, plan: DomainPlan, box_L,
         * q_ext[jnp.minimum(pgl, n0)]
     )
 
-    # ---- pair-exclusion local ids for EVERY resident row (intact rows
-    # resolve to co-resident ids, straddlers to resident-or-halo ids) ----
-    is_at = perm < n_atoms
-    aperm = jnp.minimum(perm, n_atoms - 1)
-    ex_pgl = jnp.where(is_at[:, None], ab_p[aperm], n0)  # (S*Mrow, B)
-    excl = g2l[s_of[:, None], jnp.where(ex_pgl < n0, ex_pgl, n0)]
+    # ---- pair-exclusion local ids for EVERY resident row ----
+    # Intact-slot rows: pure slot ARITHMETIC (partner = own molecule-slot
+    # base + the static in-molecule offset — homogeneous across molecules,
+    # so no gather at all; the former full-table g2l gather was one of the
+    # rebuild's measured ~0.7 ms rows). Straddler singles: their exclusion
+    # set IS their bond-partner set (exclusions=('bond',)), so the rows
+    # reuse ``sing_partner``. Tail rows (photon/filler) exclude nothing.
+    r_mol_reg = jnp.arange(apm * nb_cap, dtype=jnp.int32)
+    base = (r_mol_reg - r_mol_reg % apm)[:, None]  # (apm*nb_cap, 1)
+    offs = np.asarray(plan.excl_offs, np.int32)  # (apm, B), -1 = none
+    off_r = jnp.zeros((apm * nb_cap, B), jnp.int32)
+    for j in range(apm):
+        off_r = jnp.where((r_mol_reg % apm == j)[:, None],
+                          jnp.asarray(offs[j])[None, :], off_r)
+    mol_ok = (perm.reshape(S, Mrow)[:, :apm * nb_cap, None] < n0) & (
+        off_r >= 0)[None]
+    excl_mol = jnp.where(mol_ok, (base + off_r)[None], Mtot)
+    excl = jnp.concatenate([
+        excl_mol,
+        sing_partner.reshape(S, ns_cap, B),
+        jnp.full((S, Mrow - apm * nb_cap - ns_cap, B), Mtot, jnp.int32),
+    ], axis=1).reshape(S * Mrow, B)
 
     return DomainData(
         perm=perm, inv_slot=inv_slot, buckets=buckets, slot_of=slot_of,
@@ -1189,7 +1235,7 @@ def _shard_map(f, mesh, in_specs, out_specs):
 
 
 def _scatter_in(state: MDState, data: DomainData, plan: DomainPlan,
-                ff: ForceField, pack):
+                ff: ForceField, pack, joined=None):
     """Gather the global MDState into the domain layout (+ static tables).
 
     Filler rows (perm = n0) read a template row: origin position, zero
@@ -1217,14 +1263,26 @@ def _scatter_in(state: MDState, data: DomainData, plan: DomainPlan,
     )
 
     # pair feature table per shard: residents + [left, right] halos +
-    # one sentinel row (the layout cell_pair_force expects)
+    # one sentinel row (the layout cell_pair_force expects). When the
+    # Pallas pack rides along, its static rows are PREJOINED column-wise
+    # with the features (make_domain_runner) so the relayout is ONE wide
+    # row gather instead of two — the per-row gather overhead, not the
+    # bytes, is what the measured ~1 ms/gather was made of.
     feat_src = ff.cell_features  # (n0+1, F)
     F = feat_src.shape[1]
-    res_feat = feat_src[jnp.minimum(perm, n0)].reshape(S, Mrow, F)
-    halo_feat = feat_src[data.halo_src.reshape(S, 2 * H)]
-    feat = jnp.concatenate(
-        [res_feat, halo_feat, jnp.zeros((S, 1, F), feat_src.dtype)], axis=1
-    ).reshape(S * (Mtot + 1), F)
+    src = joined if joined is not None else feat_src
+    res_j = src[jnp.minimum(perm, n0)].reshape(S, Mrow, -1)
+    halo_j = src[data.halo_src.reshape(S, 2 * H)]
+    join = jnp.concatenate(
+        [res_j, halo_j, jnp.zeros((S, 1, src.shape[1]), src.dtype)],
+        axis=1,
+    )
+    # materialize ONCE: the feat and pack_rows outputs both slice this
+    # array, and without the barrier XLA clones the whole ~1 ms row
+    # gather into each consumer fusion (measured: 3 identical gather
+    # fusions instead of 1)
+    join = jax.lax.optimization_barrier(join)
+    feat = join[:, :, :F].reshape(S * (Mtot + 1), F)
 
     # flat ext slot per LOCAL id: residents from the rebuild; halo ids
     # read the dump slot (their tile rows are sentineled to zero force)
@@ -1244,13 +1302,16 @@ def _scatter_in(state: MDState, data: DomainData, plan: DomainPlan,
 
     pack_rows = None
     if pack is not None:
-        src = pack.static_rows  # (n0+1, R-3) f32
-        R3 = src.shape[1]
-        rows = jnp.concatenate(
-            [src[jnp.minimum(perm, n0)].reshape(S, Mrow, R3),
-             src[data.halo_src.reshape(S, 2 * H)],
-             jnp.zeros((S, 1, R3), src.dtype)], axis=1
-        )  # (S, Mtot+1, R-3)
+        R3 = pack.static_rows.shape[1]
+        if joined is not None:
+            rows = join[:, :, F:F + R3]  # (S, Mtot+1, R-3) — no regather
+        else:
+            psrc = pack.static_rows  # (n0+1, R-3) f32
+            rows = jnp.concatenate(
+                [psrc[jnp.minimum(perm, n0)].reshape(S, Mrow, R3),
+                 psrc[data.halo_src.reshape(S, 2 * H)],
+                 jnp.zeros((S, 1, R3), psrc.dtype)], axis=1
+            )  # (S, Mtot+1, R-3)
         # rewrite the id column and exclusion ids to LOCAL ids (the
         # kernel's pair-activity and exclusion compares are id-based)
         lid = jnp.arange(Mtot + 1, dtype=src.dtype)
@@ -1305,9 +1366,16 @@ def _scatter_out(state: MDState, data: DomainData, loc: LocalState,
     """
     n0 = plan.n0
     SM = plan.S * plan.Mrow
-    present = jnp.zeros((n0,), jnp.bool_).at[data.perm].set(
-        True, mode="drop"
-    )
+    # presence is STATIC: every atom row + the photon holds a slot
+    # whenever no overflow is flagged (overflow chunks are retried by the
+    # driver and their state discarded), so the former runtime scatter
+    # (~1 ms at 100k rows; TPU serializes scatter rows) is a compile-time
+    # mask
+    present_np = np.zeros((n0,), bool)
+    present_np[:plan.n_atoms] = True
+    if plan.photon_row >= 0:
+        present_np[plan.photon_row] = True
+    present = jnp.asarray(present_np)
     idx = jnp.minimum(data.inv_slot, SM - 1)
 
     def back(glob, flat):
@@ -1400,6 +1468,14 @@ def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
         adaptive=adaptive, obs_spec=obs_spec,
     )
     pack = ff.cell_pallas_pack if (use_pallas or interpret) else None
+    # prejoin the two per-row static tables (pair features + Pallas pack
+    # rows) so each rebuild's relayout is ONE wide gather over the perm —
+    # dtype-gated: off-TPU f64 feature tables must not upcast the pack
+    joined = None
+    if pack is not None and pack.static_rows.dtype == ff.cell_features.dtype:
+        joined = jnp.concatenate(
+            [ff.cell_features, pack.static_rows], axis=1
+        )
     wv_np = obs_spec[1] if obs_spec is not None else None
 
     chunk_cache = {}
@@ -1455,7 +1531,7 @@ def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
                                          ff.bond_r0_per, ff.pair_inert, q)
         )
         scat_in = jax.vmap(lambda st, da: _scatter_in(st, da, plan, ff,
-                                                      pack))
+                                                      pack, joined))
         scat_out = jax.vmap(
             lambda st, da, lo, re: _scatter_out(st, da, lo, re, plan)
         )
@@ -1465,7 +1541,7 @@ def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
                                 ff.pair_inert, q)
 
         def scat_in(st, da):
-            return _scatter_in(st, da, plan, ff, pack)
+            return _scatter_in(st, da, plan, ff, pack, joined)
 
         def scat_out(st, da, lo, re):
             return _scatter_out(st, da, lo, re, plan)
