@@ -27,6 +27,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def vma_struct(shape, dtype, ref):
+    """``jax.ShapeDtypeStruct`` carrying ``ref``'s varying-manual-axes tag.
+
+    Under ``shard_map(..., check_vma=True)`` (JAX 0.9+) every
+    ``pallas_call`` out_shape must declare how the output varies across
+    the manual mesh axes; a per-shard kernel's outputs vary exactly like
+    its sharded inputs, so inherit ``jax.typeof(ref).vma``. Reduces to a
+    plain struct outside shard_map or on older JAX.
+    """
+    try:
+        vma = jax.typeof(ref).vma
+    except AttributeError:
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
@@ -993,31 +1011,40 @@ def fused_cell_cols_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
             e_lj.astype(position.dtype), e_ew.astype(position.dtype))
 
 
-def _xy_neighbor_table_slab(cx_ext, cy) -> np.ndarray:
-    """(own-XY, 9) neighbor column ids over a slab-extended grid.
+def _xy_neighbor_table_slab(cx_ext, cy):
+    """(own-XY, 9) neighbor column ids + y-wrap signs over a slab grid.
 
     Own columns are ext x-layers 1..cx_ext-2 (the edge layers are halo,
     j-only); x never wraps — the halo layers stand in for the remote /
-    periodic x images — while y wraps as usual. The slab caller runs
-    per-pair min-image on raw positions, so unlike
-    :func:`_xy_neighbor_table_shifts` no shift tensor is needed.
+    periodic x images — while y wraps as usual. Returns ``(ids, ywrap)``
+    where ``ywrap`` in {-1, 0, +1} marks neighbor columns fetched across
+    the periodic y edge: the raw-position caller ignores it (per-pair
+    min-image), the pre-wrapped caller turns it into a +-Ly shift tensor
+    (x shifts are never needed — the pre-wrap normalizes halo rows
+    against VIRTUAL cell centers that continue past the slab edge, so
+    the periodic x image is already folded into the coordinates).
     """
     cxo = cx_ext - 2
     ids = np.arange(cxo * cy)
     x, y = ids // cy + 1, ids % cy
     out = np.empty((cxo * cy, 9), np.int32)
+    ywrap = np.zeros((cxo * cy, 9), np.int32)
     k = 0
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
-            out[:, k] = (x + dx) * cy + (y + dy) % cy
+            yn = y + dy
+            out[:, k] = (x + dx) * cy + yn % cy
+            # same convention as _xy_neighbor_table_shifts: the fetched
+            # copy's coordinates must be shifted by ywrap * Ly
+            ywrap[:, k] = np.floor_divide(yn, cy)
             k += 1
-    return out
+    return out, ywrap
 
 
 def fused_cell_cols_slab_pallas(position, box_L, clist, cfg,
                                 pack: CellPallasPack, kappa,
                                 interpret=False, s1=None, jsplit=None,
-                                mean_occ=None):
+                                mean_occ=None, cell_ctr=None):
     """Column-resident cols kernel over a slab-extended local grid.
 
     The domain-decomposed pipeline's tile pass (``parallel/domain.py``):
@@ -1030,12 +1057,23 @@ def fused_cell_cols_slab_pallas(position, box_L, clist, cfg,
       fetched as j-neighbors and never compute, so each cross-shard pair
       is counted once per owning shard and the 0.5x sum stands after the
       runner's energy psum.
-    - positions are RAW (halo copies keep the sender's coordinates): the
-      tile runs per-pair min-image (``wrap=True``), which also absorbs
-      the +-L images at box-edge shards and the y/z wraps — no
-      pre-wrapped layout or shift tensors. Costs ~9 VPU ops/pair-slot vs
-      the pre-wrapped single-shard kernel; still far ahead of the
-      bucket-gather kernel's 27x j-traffic.
+    - positions are RAW by default (halo copies keep the sender's
+      coordinates): the tile runs per-pair min-image (``wrap=True``),
+      which also absorbs the +-L images at box-edge shards and the y/z
+      wraps — no pre-wrapped layout or shift tensors. Costs ~9 VPU
+      ops/pair-slot vs the pre-wrapped single-shard kernel.
+    - ``cell_ctr`` (round 5): optional (n, 3) assigned-cell centers
+      (residents + halos) switching to the PRE-WRAPPED layout: each row
+      is normalized once per step to the image nearest its own cell
+      center (``ctr + min_image(pos - ctr)``), the z-halo and y-wrap
+      neighbor copies are pre-shifted by whole box lengths, and the
+      tile runs ``wrap=False``. The x-periodic image needs NO shift
+      tensor because halo rows normalize against VIRTUAL centers that
+      continue past the slab edge (the domain rebuild assigns them,
+      parallel/domain.py) — the boundary shard's +-Lx folds into the
+      coordinates. Exact for every in-cutoff pair by the standard
+      argument: disagreement with per-pair min-image needs a pair
+      distance >= cell width > r_cut.
     - x never wraps in the neighbor table (:func:`_xy_neighbor_table_slab`).
 
     ``clist.slot_of`` carries EXT-grid flat slots (what the domain
@@ -1068,15 +1106,41 @@ def fused_cell_cols_slab_pallas(position, box_L, clist, cfg,
         s1 = int((mean_occ + np.sqrt(mean_occ)) // 8) * 8
     s1 = max(8, min(int(s1), cap))
 
+    prewrapped = cell_ctr is not None
+    box_f = jnp.asarray(box_L, dtype)
     far = jnp.full((1, 3), jnp.asarray(1e6, dtype))
-    pos_pad = jnp.concatenate([position.astype(dtype), far])  # (n+1, 3)
+    pos_f = position.astype(dtype)
+    if prewrapped:
+        from cavmd_tpu.core.box import minimum_image
+
+        ctr = cell_ctr.astype(dtype)
+        pos_f = ctr + minimum_image(pos_f - ctr, box_f)
+    pos_pad = jnp.concatenate([pos_f, far])  # (n+1, 3)
     rows = jnp.concatenate([pos_pad, pack.static_rows], axis=1)
 
     pext = rows[idx].reshape(XYe, cz, cap, r)
     pi = pext.reshape(cx, cy, cz, cap, r)[1:-1].reshape(XYo, cz, cap, r)
-    # z-halo: plain wrapped copies (min-image absorbs the +-Lz)
-    zh = jnp.concatenate([pext[:, -1:], pext, pext[:, :1]], axis=1)
-    xy_nb = jnp.asarray(_xy_neighbor_table_slab(cx, cy), jnp.int32)
+    if prewrapped:
+        # z-halo copies pre-shifted by whole box lengths (production
+        # cols-kernel pattern)
+        z_shift = jnp.zeros((1, 1, 1, r), dtype).at[0, 0, 0, 2].set(1.0)
+        zh = jnp.concatenate([
+            pext[:, -1:] - box_f[2] * z_shift,
+            pext,
+            pext[:, :1] + box_f[2] * z_shift,
+        ], axis=1)
+    else:
+        # plain wrapped copies (per-pair min-image absorbs the +-Lz)
+        zh = jnp.concatenate([pext[:, -1:], pext, pext[:, :1]], axis=1)
+    xy_nb_np, ywrap_np = _xy_neighbor_table_slab(cx, cy)
+    xy_nb = jnp.asarray(xy_nb_np, jnp.int32)
+    xy_shift = None
+    if prewrapped:
+        row_y = jnp.zeros((r,), dtype).at[1].set(1.0)
+        xy_shift = (
+            (jnp.asarray(ywrap_np, dtype) * box_f[1])[:, :, None, None]
+            * row_y[None, None, :, None]
+        )  # (XYo, 9, r, 1)
 
     def halo_cols(zh_slice, cap_x):
         """(XYe, cz+2, cap_x, r) -> (XYo, 9, r, zcap_pad) neighbor cols."""
@@ -1091,7 +1155,10 @@ def fused_cell_cols_slab_pallas(position, box_L, clist, cfg,
                 sent_col[None, :, None], (XYe, r, zcap_pad - zcap)
             )
             jsrc = jnp.concatenate([jsrc, pad], axis=2)
-        return jsrc[xy_nb], zcap_pad
+        out = jsrc[xy_nb]
+        if xy_shift is not None:
+            out = out + xy_shift
+        return out, zcap_pad
 
     box = jnp.asarray(box_L, dtype).reshape(3)
     scal = jnp.concatenate(
@@ -1111,9 +1178,9 @@ def fused_cell_cols_slab_pallas(position, box_L, clist, cfg,
             pl.BlockSpec((1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((XYo, cz, cap, 8), dtype),
-            jax.ShapeDtypeStruct((1, 1), dtype),
-            jax.ShapeDtypeStruct((1, 1), dtype),
+            vma_struct((XYo, cz, cap, 8), dtype, position),
+            vma_struct((1, 1), dtype, position),
+            vma_struct((1, 1), dtype, position),
         ],
         interpret=interpret,
     )
@@ -1134,7 +1201,7 @@ def fused_cell_cols_slab_pallas(position, box_L, clist, cfg,
         kernel = functools.partial(
             _cell_cols_kernel_jsplit, pack=pack, rc2=rc2, cz=cz, cap=cap,
             cap1=cap1, lanes_padA=lanes_padA, lanes_padB=lanes_padB,
-            s1=s1, wrap=True,
+            s1=s1, wrap=not prewrapped,
         )
         out = pl.pallas_call(
             kernel,
@@ -1159,7 +1226,7 @@ def fused_cell_cols_slab_pallas(position, box_L, clist, cfg,
         pj, zcap_pad = halo_cols(zh, cap)
         kernel = functools.partial(_cell_cols_kernel, pack=pack, rc2=rc2,
                                    cz=cz, cap=cap, lanes_pad=lanes_pad,
-                                   s1=s1, wrap=True)
+                                   s1=s1, wrap=not prewrapped)
         out = pl.pallas_call(
             kernel,
             grid=(XYo,),
@@ -1561,7 +1628,7 @@ def fused_cell_pallas(position, box_L, clist, cfg, pack: CellPallasPack,
             out_specs=pl.BlockSpec((G, cap, 8), lambda c: (c, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((C_pad, cap, 8), dtype),
+        out_shape=vma_struct((C_pad, cap, 8), dtype, position),
         interpret=interpret,
     )(pi, pj, scal)
 

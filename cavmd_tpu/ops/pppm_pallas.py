@@ -38,6 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cavmd_tpu.ops.pallas_kernels import vma_struct
+
 import os
 
 # Tri-state switch, bound ONCE at import: callers cache the force function
@@ -542,7 +544,7 @@ def _spread_call(position, charge, box_L, order, mesh, chunk, interpret,
         ],
         out_specs=pl.BlockSpec((Kx, Ky * Kz), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Kx, Ky * Kz), jnp.float32),
+        out_shape=vma_struct((Kx, Ky * Kz), jnp.float32, pos),
         interpret=interpret,
     )(pos, q, scal, *extra, ey, ez)
 
@@ -593,7 +595,7 @@ def _spread_bwd(order, mesh, chunk, interpret, stacked, res, ct):
         ],
         out_specs=pl.BlockSpec((chunk, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+        out_shape=vma_struct((n_pad, 3), jnp.float32, pos),
         interpret=interpret,
     )(pos, q, scal, *extra, ct.astype(jnp.float32), ey, ez)
     dpos = dpos[:n].astype(position.dtype)

@@ -135,8 +135,11 @@ def test_domain_pallas_kernel_per_shard():
     plan = plan_domain(snap, ff, 4)
     run_xla = make_domain_runner(ff, methods, plan, rebuild_every=3)
     fin_x, obs_x = run_xla(state, 4)
+    # prewrap=True covers the opt-in pre-wrapped slab layout (virtual
+    # halo cell centers + whole-box shift tensors, wrap=False in-kernel;
+    # measured neutral on TPU so not the default — see make_domain_step)
     run_pl = make_domain_runner(ff, methods, plan, rebuild_every=3,
-                                interpret=True)
+                                interpret=True, prewrap=True)
     fin_p, obs_p = run_pl(state, 4)
     np.testing.assert_allclose(
         np.asarray(fin_p.position), np.asarray(fin_x.position),
