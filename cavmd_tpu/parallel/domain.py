@@ -1479,7 +1479,7 @@ def _scatter_out(state: MDState, data: DomainData, loc: LocalState,
 
 
 def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
-                       mesh=None, *, rebuild_every: int = 10,
+                       mesh=None, *, rebuild_every: int = 20,
                        use_pallas: bool | None = None,
                        interpret: bool = False, cell_block=None,
                        s1=None, jsplit=None, adaptive=None,

@@ -35,11 +35,15 @@ from cavmd_tpu.integrate.thermostats import thermalize_velocities
 
 # Default residency-rebuild cadence (steps) for the domain-decomposed
 # slab pipeline. Measured at the N=100k production workload (v5e,
-# scripts/bench_domain_s1.py sweep): see docs/performance.md
-# "Multi-chip". Rebuild cadence does not affect the trajectory (only
-# when re-binning happens); the per-step coverage invariant plus the
-# retry loop in run() keeps longer cadences safe.
-DOMAIN_REBUILD_EVERY = 10
+# scripts/bench_domain_s1.py sweep): cadence 20 = 12.08 ms/step vs
+# 12.86 at 10 — see docs/performance.md "Multi-chip". Rebuild cadence
+# does not affect the trajectory (only when re-binning happens; the
+# kernel tests every candidate pair against r_cut exactly); the plan's
+# post-snap drift margin (~0.34 a0 vs ~0.003 a0/step thermal drift,
+# 5.7x at 20 steps) plus the per-step coverage invariant and the retry
+# loop in run() keep it safe, and a coverage violation halves the
+# cadence for the retry.
+DOMAIN_REBUILD_EVERY = 20
 
 
 class Simulation:
