@@ -1643,6 +1643,16 @@ def make_domain_runner(ff: ForceField, methods, plan: DomainPlan,
             if batched:
                 ghost_rho = jax.vmap(ghost_rho)
             rho_ghost = ghost_rho(state.position, state.typeid)
+        # Rebuild partitioning at S>1 (verified in the optimized HLO on
+        # the 8-device virtual mesh, scripts/inspect_rebuild_sharding.py):
+        # the relayout's row gathers feed the chunk shard_map at
+        # P(atoms), and GSPMD's sharding propagation already partitions
+        # them by output rows — each chip gathers only ITS slab's rows
+        # (an explicit with_sharding_constraint was A/B'd and compiled
+        # to the identical program, so none is carried). What stays
+        # replicated is the sort + bucket-scatter core (computed scatter
+        # indices defeat SPMD partitioning) and the O(N) per-atom prep —
+        # the true serial fraction, a subset of the ~18.6 ms rebuild.
         obs_parts = []
         for start in range(0, n_steps, rebuild_every):
             k = min(rebuild_every, n_steps - start)
