@@ -127,6 +127,31 @@ def test_domain_matches_unsharded_trajectory(system):
     assert not np.asarray(obs["cell_overflow"]).any()
 
 
+def test_domain_default_cadence_matches_unsharded(system):
+    """25 steps at the DEFAULT rebuild cadence (20 — one full chunk plus
+    a 5-step tail) must match the unsharded runner to f64 roundoff and
+    trip neither the coverage invariant nor capacity overflow: the
+    production default's safety margin is a tested property, not just
+    the bench's (simulation.DOMAIN_REBUILD_EVERY and the runner default
+    are measured/justified in docs/performance.md 'Rebuild cadence')."""
+    from cavmd_tpu.simulation import DOMAIN_REBUILD_EVERY
+
+    snap, ff, methods, state = system
+    step = make_step_fn(ff, methods)
+    ref_final, _ = jax.jit(lambda s: run_steps(step, s, 25))(state)
+
+    plan = plan_domain(snap, ff, 4)
+    run = make_domain_runner(ff, methods, plan)  # default cadence
+    assert DOMAIN_REBUILD_EVERY == 20
+    final, obs = run(state, 25)
+    np.testing.assert_allclose(
+        np.asarray(final.position), np.asarray(ref_final.position),
+        rtol=1e-10, atol=1e-12,
+    )
+    assert not np.asarray(obs["cell_overflow"]).any()
+    assert not np.asarray(obs["domain_capacity_overflow"]).any()
+
+
 def test_domain_pallas_kernel_per_shard():
     """The Pallas cell tile kernel runs inside shard_map (interpret mode
     off-TPU) and reproduces the XLA tile domain path — the configuration
