@@ -35,8 +35,6 @@ jax.config.update("jax_enable_x64", False)
 
 
 def main():
-    import numpy as np
-
     from cavmd_tpu.core import PhysicalConstants as PC
     from cavmd_tpu.drivers.workloads import build_large_n
     from cavmd_tpu.integrate import MethodSpec, resolve_methods
